@@ -1,0 +1,85 @@
+"""Crawl configuration — JSON-over-defaults parity with the reference
+(/root/reference/crawler/config.go:11-37) plus Spark-engine knobs.
+
+Validation split mirrors the reference tests (config_test.go:8-37):
+ill-formed JSON fails at load (``from_json``); an unparseable
+WaitTime/Timeout duration fails at ``validate()`` (the reference's
+``Start()``, crawler.go:118-124).
+"""
+
+from __future__ import annotations
+
+import json
+import re
+from dataclasses import dataclass, field
+
+__all__ = ["CrawlConfig", "parse_duration"]
+
+_DUR_RE = re.compile(r"([+-]?\d+(?:\.\d+)?)(ns|us|µs|ms|s|m|h)")
+_DUR_UNITS = {
+    "ns": 1e-9, "us": 1e-6, "µs": 1e-6, "ms": 1e-3, "s": 1.0, "m": 60.0, "h": 3600.0,
+}
+
+
+def parse_duration(s: str) -> float:
+    """Go time.ParseDuration subset -> seconds. Raises ValueError on
+    garbage (parity: crawler.go:118-124 errors at Start)."""
+    if not isinstance(s, str) or not s:
+        raise ValueError(f"invalid duration {s!r}")
+    if s in ("0", "+0", "-0"):
+        return 0.0
+    total = 0.0
+    pos = 0
+    for m in _DUR_RE.finditer(s):
+        if m.start() != pos:
+            raise ValueError(f"invalid duration {s!r}")
+        total += float(m.group(1)) * _DUR_UNITS[m.group(2)]
+        pos = m.end()
+    if pos != len(s) or pos == 0:
+        raise ValueError(f"invalid duration {s!r}")
+    return total
+
+
+@dataclass
+class CrawlConfig:
+    # --- reference-parity fields (config.go:11-21 defaults) ---
+    Connections: int = 1
+    UserAgent: str = "Crawler/0.2.0 (PySpark rebuild)"
+    RobotsUserAgent: str = "Crawler"
+    Include: list = field(default_factory=list)
+    Exclude: list = field(default_factory=list)
+    From: list = field(default_factory=list)
+    RespectNofollow: bool = False
+    MaxDepth: int = 0
+    WaitTime: str = "100ms"
+    Timeout: str = "30s"
+    Header: list = field(default_factory=list)  # [{"K":..,"V":..}]
+
+    # --- Spark-engine knobs (not in the reference) ---
+    canon_mode: str = "go-parity"  # or "extended"
+    shuffle_partitions: int = 32
+    bloom_prefilter: bool = True
+    bloom_bits_per_shard: int = 1 << 20
+    bloom_shards: int = 32
+    bloom_hashes: int = 5
+    per_host_budget: int | None = None  # max fetches per host per wave (None = unlimited)
+    hot_host_salt_threshold: int = 10_000  # rows/host above which to salt-split
+    pacing_enabled: bool = False  # real sleeps in the fetch stage (off in tests)
+
+    @classmethod
+    def from_json(cls, text: str) -> "CrawlConfig":
+        data = json.loads(text)  # ill-formed JSON raises here (load-time)
+        cfg = cls()
+        for k, v in data.items():
+            if hasattr(cfg, k):
+                setattr(cfg, k, v)
+        return cfg
+
+    def validate(self) -> "CrawlConfig":
+        """Start-time validation (duration parsing, parity with
+        crawler.go:115-124)."""
+        self.wait_seconds = parse_duration(self.WaitTime)
+        self.timeout_seconds = parse_duration(self.Timeout)
+        if self.Connections < 1:
+            self.Connections = 1
+        return self

@@ -1,0 +1,175 @@
+"""HTML extraction with the reference's scrape semantics.
+
+Pure-Python (stdlib ``html.parser``) core used by both the Spark
+parse stage (inside ``mapInPandas`` — Arrow-batched, never
+row-at-a-time UDFs) and the sequential oracle.
+
+Parity targets (all file:line into /root/reference):
+- first-match queries: Title/H1 = text of the FIRST matching element
+  in document order (scrape/scrape.go:26-33 Query = QueryAll[0];
+  pre-order DFS per NodesByTagName scrape.go:35-48).
+- Text() concatenates every text node in the subtree with no
+  separators or trimming (scrape.go:100-117).
+- meta description/robots = ``content`` attr of the first
+  <meta name=...> (crawler/data/result.go:92-108); "" when absent.
+- canonical: first <link rel="canonical">; ALWAYS constructed, even
+  with empty href — empty href resolves to the base URL itself
+  (result.go:117-122, MakeCanonical unconditional).
+- hreflang: all <link rel="alternate"> with non-empty href
+  (result.go:125-139).
+- links: ALL <a> elements in document order, href defaulting to ""
+  (resolves to base); Anchor = subtree text; Nofollow = rel attr
+  string-equals "nofollow" (result.go:141-154).
+- body text hash: SHA-512 of the first <body> subtree's text,
+  base64 std encoding (result.go:113-114).
+
+The golang.org/x/net/html parser performs full HTML5 tree repair
+(implied <html>/<head>/<body>); this extractor implements the subset
+needed for crawl-shaped documents: explicit or implied body (text
+outside <head> belongs to body), void elements, entity decoding.
+"""
+
+from __future__ import annotations
+
+import base64
+import hashlib
+from html.parser import HTMLParser
+
+__all__ = ["extract_html", "sha512_b64"]
+
+_VOID = {
+    "area", "base", "br", "col", "embed", "hr", "img", "input",
+    "link", "meta", "param", "source", "track", "wbr",
+}
+
+
+def sha512_b64(text: str) -> str:
+    return base64.standard_b64encode(hashlib.sha512(text.encode("utf-8")).digest()).decode("ascii")
+
+
+class _Node:
+    __slots__ = ("tag", "attrs", "children")
+
+    def __init__(self, tag, attrs=()):
+        self.tag = tag
+        self.attrs = dict(attrs)
+        self.children = []
+
+
+class _TreeBuilder(HTMLParser):
+    def __init__(self):
+        super().__init__(convert_charrefs=True)
+        self.root = _Node("#root")
+        self.stack = [self.root]
+
+    def handle_starttag(self, tag, attrs):
+        node = _Node(tag, attrs)
+        self.stack[-1].children.append(node)
+        if tag not in _VOID:
+            self.stack.append(node)
+
+    def handle_startendtag(self, tag, attrs):
+        self.stack[-1].children.append(_Node(tag, attrs))
+
+    def handle_endtag(self, tag):
+        # close the nearest matching open tag (tolerant repair)
+        for i in range(len(self.stack) - 1, 0, -1):
+            if self.stack[i].tag == tag:
+                del self.stack[i:]
+                break
+
+    def handle_data(self, data):
+        self.stack[-1].children.append(data)
+
+
+def _walk(node):
+    """Pre-order DFS over element nodes (matches NodesByTagName order)."""
+    out = [node]
+    for c in node.children:
+        if isinstance(c, _Node):
+            out.extend(_walk(c))
+    return out
+
+
+def _text(node) -> str:
+    parts = []
+
+    def rec(n):
+        for c in n.children:
+            if isinstance(c, _Node):
+                rec(c)
+            else:
+                parts.append(c)
+
+    if node is not None:
+        rec(node)
+    return "".join(parts)
+
+
+def _first(nodes, tag, attrs=None):
+    for n in nodes:
+        if n.tag != tag:
+            continue
+        if attrs and any(n.attrs.get(k) != v for k, v in attrs.items()):
+            continue
+        return n
+    return None
+
+
+def extract_html(html_str: str) -> dict:
+    """Extract the reference's per-page fields from raw HTML.
+
+    Returns href strings and document-order link tuples; URL
+    resolution against the base address happens in the caller (it
+    needs canon.resolve_address)."""
+    tb = _TreeBuilder()
+    tb.feed(html_str)
+    tb.close()
+    nodes = _walk(tb.root)[1:]  # skip #root
+
+    title_n = _first(nodes, "title")
+    h1_n = _first(nodes, "h1")
+    desc_n = _first(nodes, "meta", {"name": "description"})
+    robots_n = _first(nodes, "meta", {"name": "robots"})
+    canon_n = _first(nodes, "link", {"rel": "canonical"})
+
+    hreflang = []
+    for n in nodes:
+        if n.tag == "link" and n.attrs.get("rel") == "alternate":
+            href = n.attrs.get("href") or ""
+            if href != "":
+                hreflang.append((href, n.attrs.get("hreflang") or ""))
+
+    links = []
+    for n in nodes:
+        if n.tag == "a":
+            links.append(
+                (
+                    n.attrs.get("href") or "",
+                    _text(n),
+                    (n.attrs.get("rel") or "") == "nofollow",
+                )
+            )
+
+    body_n = _first(nodes, "body")
+    if body_n is not None:
+        body_text = _text(body_n)
+    else:
+        # implied body: all text outside <head>
+        head = _first(nodes, "head")
+        head_text = _text(head) if head is not None else ""
+        all_text = _text(tb.root)
+        body_text = all_text.replace(head_text, "", 1) if head_text else all_text
+
+    return {
+        "Title": _text(title_n),
+        "H1": _text(h1_n),
+        "Description": (desc_n.attrs.get("content") or "") if desc_n is not None else "",
+        "Robots": (robots_n.attrs.get("content") or "") if robots_n is not None else "",
+        # reference builds Canonical for EVERY html page, tag or not
+        # (result.go:117-122) — empty href resolves to the base URL.
+        "CanonicalHref": (canon_n.attrs.get("href") or "") if canon_n is not None else "",
+        "Hreflang": hreflang,
+        "Links": links,
+        "BodyTextHash": sha512_b64(body_text),
+    }

@@ -1,0 +1,101 @@
+"""Canonicalization goldens — FIXTURES.md §7, SURVEY.md §7.4/§7.5.
+
+Go-parity cases cite /root/reference/crawler/data/address.go and
+crawler.go; each golden documents the behaviour it pins.
+"""
+
+import pytest
+
+from crawlspark import canon
+
+GO_PARITY = [
+    # (raw, expected Full via make_address)
+    ("http://example.com", "http://example.com/"),  # empty path -> "/" (address.go:26-27)
+    ("http://example.com/a#frag", "http://example.com/a"),  # fragment strip (address.go:29)
+    ("http://example.com/a%20b", "http://example.com/a%20b"),  # valid escapes preserved (EscapedPath, address.go:35)
+    ("http://example.com/a?b=2&a=1", "http://example.com/a?b=2&a=1"),  # query byte-preserved
+    ("HTTP://example.com/X", "http://example.com/X"),  # scheme lowercased, rest as-is
+    ("http://EXAMPLE.com/", "http://EXAMPLE.com/"),  # go-parity: host NOT lowercased
+    ("http://example.com/?", "http://example.com/?"),  # empty query kept ('?' present)
+    ("http://example.com/a#", "http://example.com/a"),  # empty fragment dropped
+]
+
+
+@pytest.mark.parametrize("raw,full", GO_PARITY)
+def test_make_address_go_parity(raw, full):
+    a = canon.make_address(raw)
+    assert a is not None
+    assert a["Full"] == full
+
+
+def test_make_address_fields():
+    a = canon.make_address("https://h.test:8080/p%20x/y?q=1&r=2#z")
+    assert a == {
+        "Full": "https://h.test:8080/p%20x/y?q=1&r=2",
+        "Scheme": "https",
+        "Opaque": "",
+        "Host": "h.test:8080",
+        "Path": "/p%20x/y",
+        "Query": "q=1&r=2",
+    }
+
+
+def test_invalid_percent_escape_is_parse_error():
+    # Go url.Parse errors on invalid escapes -> MakeAddress nil
+    assert canon.make_address("http://example.com/bad%zz") is None
+    assert canon.make_address("http://example.com/bad%2") is None
+
+
+def test_control_chars_rejected():
+    assert canon.make_address("http://example.com/a\x00b") is None
+
+
+def test_seed_keeps_fragment_and_defaults_path():
+    # crawler.go:26-41: initialQueue defaults path but keeps fragment;
+    # the seen-set key for seeds therefore retains the fragment.
+    assert canon.canon_seed("http://example.com#f") == "http://example.com/#f"
+    assert canon.canon_seed("http://example.com/a#f") == "http://example.com/a#f"
+    assert canon.canon_seed("http://example.com") == "http://example.com/"
+
+
+RESOLVE = [
+    # (base, href, expected Full) — RFC 3986 via ResolveReference (address.go:40-53)
+    ("http://h.test/a/b", "c", "http://h.test/a/c"),
+    ("http://h.test/a/b/", "../x", "http://h.test/a/x"),
+    ("http://h.test/a/b", "/root", "http://h.test/root"),
+    ("http://h.test/a/b", "//other.test/z", "http://other.test/z"),
+    ("http://h.test/a/b?q=1", "", "http://h.test/a/b?q=1"),  # empty ref -> base minus fragment
+    ("http://h.test/a/b", "#sec", "http://h.test/a/b"),  # fragment-only -> base (frag stripped)
+    ("http://h.test/a/b", "https://s.test/x", "https://s.test/x"),
+    ("http://h.test/", "?a=2", "http://h.test/?a=2"),
+]
+
+
+@pytest.mark.parametrize("base,href,full", RESOLVE)
+def test_resolve(base, href, full):
+    a = canon.resolve_address(base, href)
+    assert a is not None and a["Full"] == full
+
+
+def test_resolve_bad_href_none():
+    assert canon.resolve_address("http://h.test/", "http://bad%zz/") is None
+
+
+EXTENDED = [
+    ("HTTP://EXAMPLE.com:80/a%2Fb%41?b=2&a=1#f", "http://example.com/a%2FbA?a=1&b=2"),
+    ("https://H.test:443/x", "https://h.test/x"),
+    ("http://h.test/%7Euser", "http://h.test/~user"),
+    ("http://h.test/a%3fb", "http://h.test/a%3Fb"),  # reserved escape uppercased
+]
+
+
+@pytest.mark.parametrize("raw,expect", EXTENDED)
+def test_extended_canon(raw, expect):
+    assert canon.extended_canon(raw) == expect
+
+
+def test_opaque_url():
+    a = canon.make_address("mailto:user@example.com")
+    assert a["Full"] == "mailto:user@example.com"
+    assert a["Opaque"] == "user@example.com"
+    assert a["Path"] == "/"

@@ -1,0 +1,208 @@
+"""Unit tests for the pure-Python cores: HTML extraction (scrape.go
+parity), robots matcher truth table, scope filter, config validation
+split, image codecs, duration parsing."""
+
+import base64
+import hashlib
+
+import numpy as np
+import pytest
+
+from crawlspark import htmlex, imagecodec, robots
+from crawlspark.config import CrawlConfig, parse_duration
+from crawlspark.scope import will_crawl
+
+# ---------- htmlex (scrape/scrape.go + crawler/data/result.go) ----------
+
+SIMPLE = """<!DOCTYPE html>
+<html><head>
+<title>First title</title>
+<title>Second title</title>
+<meta name="description" content="Desc here" />
+<meta name="robots" content="noindex, nofollow" />
+<link rel="canonical" href="/canon" />
+<link rel="alternate" href="/alt" hreflang="en-us" />
+<link rel="alternate" href="" hreflang="skipped" />
+</head><body>
+<h1>First h1</h1><h1>Second h1</h1>
+<p>Match this.</p>
+<a href="/x" rel="nofollow">anchor <b>bold</b> text</a>
+<a>no href</a>
+</body></html>"""
+
+
+def test_extract_first_match_semantics():
+    ex = htmlex.extract_html(SIMPLE)
+    # Query = QueryAll[0] (scrape.go:26-33)
+    assert ex["Title"] == "First title"
+    assert ex["H1"] == "First h1"
+    assert ex["Description"] == "Desc here"
+    assert ex["Robots"] == "noindex, nofollow"
+    assert ex["CanonicalHref"] == "/canon"
+
+
+def test_extract_hreflang_skips_empty_href():
+    ex = htmlex.extract_html(SIMPLE)
+    assert ex["Hreflang"] == [("/alt", "en-us")]
+
+
+def test_extract_links_all_anchors_docorder():
+    ex = htmlex.extract_html(SIMPLE)
+    assert ex["Links"] == [
+        ("/x", "anchor bold text", True),
+        ("", "no href", False),
+    ]
+
+
+def test_body_text_hash():
+    ex = htmlex.extract_html(SIMPLE)
+    body_text = "\nFirst h1Second h1\nMatch this.\nanchor bold text\nno href\n"
+    expect = base64.standard_b64encode(hashlib.sha512(body_text.encode()).digest()).decode()
+    assert ex["BodyTextHash"] == expect
+
+
+def test_scrape_query_golden():
+    # scrape_test.go:10-28 analog: body text is exactly the paragraph
+    ex = htmlex.extract_html("<html><body><p name='x'>Match this.</p></body></html>")
+    assert ex["BodyTextHash"] == htmlex.sha512_b64("Match this.")
+    assert ex["Title"] == ""
+
+
+def test_nofollow_is_exact_rel_equality():
+    # result.go:149: rel == "nofollow" exact string equality
+    ex = htmlex.extract_html('<body><a href="/a" rel="nofollow external">x</a></body>')
+    assert ex["Links"][0][2] is False
+
+
+# ---------- robots (REP truth table, crawler.go:278-295) ----------
+
+
+def test_robots_locate():
+    assert robots.locate("http://h.test:8080/a/b?q") == "http://h.test:8080/robots.txt"
+    assert robots.locate("nonsense") is None
+
+
+def _matcher(body, ua="Crawler"):
+    return robots.Matcher(robots.parse_rules(body), ua)
+
+
+def test_robots_disallow_all():
+    m = _matcher("User-agent: *\nDisallow: /\n")
+    assert not m.allowed("http://h.test/")
+    assert not m.allowed("http://h.test/x")
+
+
+def test_robots_allow_all_variants():
+    assert _matcher("User-agent: *\nDisallow:\n").allowed("http://h.test/x")
+    assert robots.Matcher(robots.ALLOW_ALL, "Crawler").allowed("http://h.test/x")
+
+
+def test_robots_path_prefix_and_longest_match():
+    body = "User-agent: *\nDisallow: /secret\nAllow: /secret/allowed$\n"
+    m = _matcher(body)
+    assert m.allowed("http://h.test/open")
+    assert not m.allowed("http://h.test/secret")
+    assert not m.allowed("http://h.test/secret/x")
+    assert m.allowed("http://h.test/secret/allowed")
+    assert not m.allowed("http://h.test/secret/allowed/deeper")
+
+
+def test_robots_wildcard():
+    m = _matcher("User-agent: *\nDisallow: /*.pdf$\n")
+    assert not m.allowed("http://h.test/a/doc.pdf")
+    assert m.allowed("http://h.test/a/doc.pdfx")
+
+
+def test_robots_agent_groups():
+    body = "User-agent: Crawler\nDisallow: /only-crawler\n\nUser-agent: *\nDisallow: /everyone\n"
+    m_c = _matcher(body, "Crawler")
+    m_o = _matcher(body, "Other")
+    assert not m_c.allowed("http://h.test/only-crawler")
+    assert m_c.allowed("http://h.test/everyone")  # specific group wins, * ignored
+    assert m_o.allowed("http://h.test/only-crawler")
+    assert not m_o.allowed("http://h.test/everyone")
+
+
+def test_robots_status_mapping():
+    assert robots.from_status(404, None) == robots.ALLOW_ALL
+    assert robots.from_status(503, None) == robots.DISALLOW_ALL
+    assert robots.from_status(None, None) == robots.DISALLOW_ALL
+    assert robots.from_status(200, "User-agent: *\nDisallow: /x\n") != robots.ALLOW_ALL
+
+
+def test_robots_tie_allow_wins():
+    m = _matcher("User-agent: *\nDisallow: /dir\nAllow: /dir\n")
+    assert m.allowed("http://h.test/dir/a")
+
+
+# ---------- scope (crawler.go:171-195 truth table) ----------
+
+
+def test_scope_truth_table():
+    inc = [r"^https?://www\.example\.com/.*"]
+    exc = [r"\.pdf$"]
+    assert will_crawl("http://www.example.com/a", inc, exc)
+    assert not will_crawl("http://www.example.com/a.pdf", inc, exc)  # exclude beats include
+    assert not will_crawl("http://other.com/a", inc, exc)  # include list nonempty, no match
+    assert will_crawl("http://other.com/a", [], exc)  # empty include -> keep
+    assert not will_crawl("http://other.com/a.pdf", [], exc)
+
+
+# ---------- config (config_test.go:8-37 split) ----------
+
+
+def test_config_ill_formed_json_fails_at_load():
+    with pytest.raises(Exception):
+        CrawlConfig.from_json("{not json")
+
+
+def test_config_bad_wait_fails_at_validate_not_load():
+    cfg = CrawlConfig.from_json('{"WaitTime": "totally-not-a-duration"}')
+    with pytest.raises(ValueError):
+        cfg.validate()
+
+
+def test_config_defaults():
+    cfg = CrawlConfig.from_json("{}")
+    assert cfg.Connections == 1 and cfg.MaxDepth == 0
+    assert cfg.WaitTime == "100ms" and cfg.Timeout == "30s"
+    assert cfg.RobotsUserAgent == "Crawler"
+
+
+def test_parse_duration():
+    assert parse_duration("100ms") == pytest.approx(0.1)
+    assert parse_duration("1.5s") == pytest.approx(1.5)
+    assert parse_duration("2m30s") == pytest.approx(150)
+    with pytest.raises(ValueError):
+        parse_duration("abc")
+
+
+# ---------- image codecs (input_hint invariant machinery) ----------
+
+
+def test_png_roundtrip_exact():
+    arr = imagecodec.synth_image("img-0001", 24, 16)
+    out = imagecodec.decode_png(imagecodec.encode_png(arr))
+    assert np.array_equal(arr, out)
+
+
+def test_qjpg_lossy_psnr_above_40():
+    arr = imagecodec.synth_image("img-0002", 32, 32)
+    out = imagecodec.decode_qjpg(imagecodec.encode_qjpg(arr))
+    p = imagecodec.psnr(arr, out)
+    assert p >= 40.0, p
+    assert not np.array_equal(arr, out)  # genuinely lossy
+
+
+def test_phash_deterministic_and_discriminative():
+    a = imagecodec.phash64(imagecodec.synth_image("img-0001", 32, 32))
+    b = imagecodec.phash64(imagecodec.synth_image("img-0001", 32, 32))
+    c = imagecodec.phash64(imagecodec.synth_image("img-0999", 32, 32))
+    assert a == b
+    assert isinstance(a, int) and -(2**63) <= a < 2**63
+    assert a != c
+
+
+def test_pil_formats_are_stubbed():
+    with pytest.raises(NotImplementedError):
+        imagecodec.decode(b"\xff\xd8\xff", "jpeg")
