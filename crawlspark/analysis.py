@@ -1,0 +1,199 @@
+"""The reference's BigQuery analysis corpus (/root/reference/sql/*.sql
+and the notebook) re-expressed as native DataFrame queries — the §2B
+operator surface of SURVEY.md.
+
+Every function takes the crawl-results DataFrame (nested Result
+schema) and returns a DataFrame with FLAT, explicitly aliased columns
+so the DuckDB oracle (same SQL in __spark_entry__.oracle_sql) hashes
+identically. All operators stay JVM-side: higher-order functions
+(filter/exists) replace BigQuery's correlated UNNEST subqueries, a
+groupBy+join replaces the COUNT(DISTINCT ... ) OVER window Spark
+disallows (documented rewrite, SURVEY.md B6) — no Python UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+__all__ = [
+    "duplicate_body", "duplicate_title", "inlinks", "hreflang_reciprocity",
+    "noindex", "self_canonical", "sf_emulation", "status_histogram",
+    "depth_histogram", "link_graph",
+]
+
+
+def duplicate_body(crawl: DataFrame) -> DataFrame:
+    """sql/duplicate_body.sql — groups of pages sharing a body hash.
+    ARRAY_AGG(DISTINCT ...) flattened to a sorted CSV for cross-engine
+    value comparison."""
+    return (
+        crawl.groupBy("BodyTextHash")
+        .agg(
+            F.concat_ws(",", F.array_sort(F.collect_set(F.col("Address.Full")))).alias("Examples"),
+            F.count("*").alias("N"),
+        )
+        .select("Examples", "BodyTextHash", "N")
+        .orderBy(F.desc("N"), "BodyTextHash")
+    )
+
+
+def duplicate_title(crawl: DataFrame) -> DataFrame:
+    """sql/duplicate_title.sql — pages sharing a non-empty title."""
+    r = crawl.groupBy("Title").agg(F.count("*").alias("N"))
+    return (
+        crawl.join(r, "Title")
+        .filter((F.col("Title") != "") & (F.col("N") > 1) & (F.col("StatusCode") == 200))
+        .select(F.col("Address.Full").alias("FullAddress"), "Title", "N")
+        .orderBy(F.desc("N"), F.desc("Title"), "FullAddress")
+    )
+
+
+def inlinks(crawl: DataFrame) -> DataFrame:
+    """sql/inlinks.sql — inlink counts for every link target, joined
+    back to the crawl (targets may be uncrawled -> null StatusCode)."""
+    r = (
+        crawl.select(F.col("Address"), F.explode("Links").alias("link"))
+        .groupBy(F.col("link.Address.Full").alias("FullAddress"))
+        .agg(F.count("Address").alias("InLinks"))
+    )
+    return (
+        r.join(crawl, r["FullAddress"] == crawl["Address.Full"], "left")
+        .select("FullAddress", "StatusCode", "InLinks")
+        .orderBy(F.desc("InLinks"), "FullAddress", "StatusCode")
+    )
+
+
+def hreflang_reciprocity(crawl: DataFrame) -> DataFrame:
+    """sql/hreflang.sql — every hreflang edge with reciprocation flag.
+    The correlated `IN (SELECT ... FROM UNNEST(q.Hreflang))` becomes a
+    higher-order `exists` over the target page's Hreflang array."""
+    q = crawl.select(
+        F.col("Address.Full").alias("FullAddress"), "Hreflang", "StatusCode"
+    )
+    r = (
+        q.select(
+            F.col("FullAddress").alias("SourceAddress"),
+            F.explode("Hreflang").alias("target"),
+        )
+        .select(
+            "SourceAddress",
+            F.col("target.Address.Full").alias("FullAddress"),
+            F.col("target.Hreflang").alias("HreflangCode"),
+        )
+        .distinct()
+    )
+    joined = r.join(q, "FullAddress", "left")
+    return (
+        joined.select(
+            "SourceAddress",
+            F.col("FullAddress").alias("TargetAddress"),
+            "HreflangCode",
+            F.coalesce(
+                F.exists("Hreflang", lambda t: t["Address"]["Full"] == F.col("SourceAddress")),
+                F.lit(False),
+            ).alias("Reciprocated"),
+            F.col("StatusCode").alias("TargetStatusCode"),
+        )
+        .distinct()
+        .orderBy("SourceAddress", "TargetAddress", "HreflangCode")
+    )
+
+
+def noindex(crawl: DataFrame) -> DataFrame:
+    """sql/noindex.sql — REGEXP_CONTAINS(Robots, r'\\bnoindex\\b')."""
+    return crawl.select(
+        F.col("Address.Full").alias("FullAddress"),
+        F.col("Robots").rlike(r"\bnoindex\b").alias("Noindex"),
+    ).orderBy("FullAddress", "Noindex")
+
+
+def self_canonical(crawl: DataFrame) -> DataFrame:
+    """sql/self_canonical.sql — struct-equality canonical check."""
+    return crawl.select(
+        F.col("Address.Full").alias("FullAddress"),
+        F.coalesce(F.col("Address") == F.col("Canonical.Address"), F.lit(False)).alias(
+            "SelfCanonical"
+        ),
+    ).orderBy("FullAddress", "SelfCanonical")
+
+
+def sf_emulation(crawl: DataFrame) -> DataFrame:
+    """sql/sf_emulation.sql — the ScreamingFrog-style wide report.
+    COUNT(DISTINCT source) OVER (PARTITION BY target) is rewritten as
+    groupBy(target).agg(countDistinct(source)) (SURVEY.md B6: Spark
+    disallows DISTINCT windows; identical result)."""
+    q = crawl.withColumn(
+        "HasOtherCanonical",
+        F.coalesce(F.col("Address.Full") != F.col("Canonical.Address.Full"), F.lit(True)),
+    ).withColumn(
+        "Noindex", F.col("Robots").rlike(r"\bnoindex\b")
+    ).withColumn(
+        "Nofollow", F.col("Robots").rlike(r"\bnofollow\b")
+    )
+    r = (
+        q.select(F.col("Address.Full").alias("_src"), F.explode("Links").alias("target"))
+        .groupBy(F.col("target.Address.Full").alias("FullAddress"))
+        .agg(F.countDistinct("_src").alias("InLinks"))
+    )
+    joined = q.join(r, q["Address.Full"] == r["FullAddress"], "left").filter(
+        F.col("Address").isNotNull()
+    )
+    return (
+        joined.select(
+            "Depth",
+            "FullAddress",
+            F.element_at(F.filter("Header", lambda h: h["K"] == "Content-Type"), 1)["V"].alias(
+                "ContentType"
+            ),
+            "Status",
+            "StatusCode",
+            "Title",
+            F.count("*").over(Window.partitionBy("Title")).alias("TitleCount"),
+            F.length("Title").alias("TitleLength"),
+            "H1",
+            F.length("H1").alias("H1Length"),
+            F.col("Canonical.Address.Full").alias("Canonical"),
+            "Description",
+            "Robots",
+            "Noindex",
+            "Nofollow",
+            (~((F.col("StatusCode") != 200) | F.col("Noindex") | F.col("HasOtherCanonical"))).alias(
+                "Indexable"
+            ),
+            "InLinks",
+            "BodyTextHash",
+            F.count("*").over(Window.partitionBy("BodyTextHash")).alias("BodyCount"),
+        )
+        .distinct()
+        .orderBy("Depth", "FullAddress")
+    )
+
+
+def status_histogram(crawl: DataFrame) -> DataFrame:
+    """notebook: crawl status distribution."""
+    return (
+        crawl.groupBy("Status", "StatusCode")
+        .agg(F.count("*").alias("N"))
+        .orderBy(F.desc("N"), "Status")
+    )
+
+
+def depth_histogram(crawl: DataFrame) -> DataFrame:
+    """notebook: pages per depth."""
+    return crawl.groupBy("Depth").agg(F.count("*").alias("N")).orderBy("Depth")
+
+
+def link_graph(crawl: DataFrame) -> DataFrame:
+    """notebook link_graph: flattened source->target edge list."""
+    return (
+        crawl.select(F.col("Address.Full").alias("Source"), F.explode("Links").alias("link"))
+        .select(
+            "Source",
+            F.col("link.Address.Full").alias("Target"),
+            F.col("link.Anchor").alias("Anchor"),
+            F.col("link.Nofollow").alias("Nofollow"),
+        )
+        .orderBy("Source", "Target", "Anchor")
+    )

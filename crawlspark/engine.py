@@ -1,0 +1,485 @@
+"""The batch-iterative crawl engine: one BFS wave = one Spark job
+chain (SURVEY.md §3.5). Reproduces the reference state machine's
+observable semantics (/root/reference/crawler/state.go:20-115,
+crawler.go:115-274) on the DataFrame API:
+
+wave(d): frontier(depth=d) scan
+       -> robots join + gate (A10)               [join + pandas UDF]
+       -> per-host politeness budget (A11)       [applyInPandas, salted]
+       -> fetch = join against the pages table (A12; the sandbox has
+          no network — the pages fixture IS the web, same interface)
+       -> parse/hydrate + payload check (A13-A15) [mapInPandas, Arrow]
+       -> results staged to the snapshot store (A17-A18)
+       -> candidates: redirect targets ∪ exploded links (A15/A16)
+       -> scope + nofollow column filters (A6, A8) [no UDF]
+       -> within-wave dedup: groupBy(url).min(priority)
+       -> bloom prefilter + exact anti-join vs seen (A7)
+       -> frontier(d+1) + seen delta + bloom bits + metrics committed
+          atomically per wave (resumable mid-crawl).
+
+Scale notes (the 10^10 design, exercised at fixture scale):
+- frontier/seen/results never touch driver memory (store-backed);
+- the pages join and the seen anti-join are the two big shuffles;
+  AQE (+ skew join) is assumed on; the bloom cogroup keeps the
+  anti-join probe side small (definitely-new URLs bypass it);
+- hot hosts are salt-split before the politeness groupBy so no task
+  inherits a whole host (north_rule skew clause);
+- everything crossing Python<->JVM is Arrow-batched (mapInPandas /
+  applyInPandas / pandas UDFs) — no row-at-a-time Python.
+"""
+
+from __future__ import annotations
+
+import math
+import tempfile
+import time
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.window import Window
+
+from . import bloomfilter, canon, oracle, robots
+from .config import CrawlConfig
+from .schema import (
+    FRONTIER_SCHEMA,
+    RESULT_ENGINE_FIELDS,
+    RESULT_FIELDS,
+)
+from .scope import check_patterns, scope_filter_expr
+from .store import SnapshotStore
+
+__all__ = ["SparkCrawler"]
+
+RESULT_FULL_SCHEMA = T.StructType(RESULT_FIELDS + RESULT_ENGINE_FIELDS)
+
+_PARTS_FIELDS = [
+    T.StructField("scheme", T.StringType()),
+    T.StructField("host", T.StringType()),
+    T.StructField("fetch_key", T.StringType()),
+]
+
+
+def _url_parts_map(schema_in: T.StructType):
+    """mapInPandas stage adding scheme/host/fetch_key (one parse per
+    row, Arrow-batched)."""
+    out_schema = T.StructType(schema_in.fields + _PARTS_FIELDS)
+
+    def fn(batches):
+        for pdf in batches:
+            schemes, hosts, fkeys = [], [], []
+            for u in pdf["url_key"]:
+                p = canon.parse_url(u)
+                if p is None:
+                    schemes.append(None); hosts.append(None); fkeys.append(None)
+                else:
+                    schemes.append(p.scheme)
+                    hosts.append(p.host)
+                    fkeys.append(canon.serialize(p, with_fragment=False))
+            yield pdf.assign(scheme=schemes, host=hosts, fetch_key=fkeys)
+
+    return fn, out_schema
+
+
+def _robots_allowed_udf(robots_user_agent: str):
+    """Scalar pandas UDF: allowed(url | robots status+body). Matchers
+    compiled once per distinct (status, body) per batch."""
+
+    @F.pandas_udf(T.BooleanType())
+    def allowed(url: pd.Series, status: pd.Series, body: pd.Series) -> pd.Series:
+        cache: dict = {}
+        out = []
+        for u, s, b in zip(url, status, body):
+            key = (None if pd.isna(s) else int(s), b if isinstance(b, str) else None)
+            m = cache.get(key)
+            if m is None:
+                m = robots.Matcher(robots.from_status(*key), robots_user_agent)
+                cache[key] = m
+            out.append(m.allowed(u))
+        return pd.Series(out, dtype=bool)
+
+    return allowed
+
+
+def _rows_to_pdf(rows: list[dict]) -> pd.DataFrame:
+    cols = [f.name for f in RESULT_FULL_SCHEMA.fields]
+    return pd.DataFrame({c: [r.get(c) for r in rows] for c in cols})
+
+
+def _blocked_map():
+    def fn(batches):
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                res = oracle.blocked_result(r.url_key, int(r.depth))
+                res["Priority"] = int(r.priority)
+                res["UrlKey"] = r.url_key
+                res["Payload"] = None
+                rows.append(res)
+            yield _rows_to_pdf(rows)
+
+    return fn
+
+
+def _parse_map(check_payload: bool):
+    """fetch+parse stage: joined (frontier ⋈ pages [⋈ images]) rows ->
+    full nested Result rows. Pure function of the row — safe to
+    re-execute on task retry (idempotent wave semantics)."""
+
+    def fn(batches):
+        from . import imagecodec
+
+        for pdf in batches:
+            rows = []
+            has_img = "image_bytes" in pdf.columns
+            for r in pdf.to_dict("records"):
+                hdrs = r["headers"]  # Arrow list column -> numpy array or None
+                if hdrs is None or isinstance(hdrs, float):
+                    hdrs = []
+                page = {
+                    "status_code": r["status_code"],
+                    "status": r["status"],
+                    "proto": r["proto"],
+                    "proto_major": r["proto_major"],
+                    "proto_minor": r["proto_minor"],
+                    "content_type": r["content_type"],
+                    "location": r["location"],
+                    "headers": [{"K": p["K"], "V": p["V"]} for p in hdrs],
+                    "html": r["html"],
+                }
+                res = oracle.make_result_dict(r["url_key"], int(r["depth"]), page)
+                res["Priority"] = int(r["priority"])
+                res["UrlKey"] = r["url_key"]
+                payload = None
+                if has_img and r.get("image_id") is not None and r.get("image_bytes") is not None:
+                    img_id, fmt = r["image_id"], r["fmt"]
+                    psnr_v, ok = None, None
+                    if check_payload:
+                        try:
+                            dec = imagecodec.decode(bytes(r["image_bytes"]), fmt)
+                            truth = imagecodec.synth_image(img_id, int(r["img_w"]), int(r["img_h"]))
+                            psnr_v = imagecodec.psnr(truth, dec)
+                            ok = bool(psnr_v >= 40.0)
+                        except NotImplementedError:
+                            psnr_v, ok = None, None
+                    payload = {
+                        "ImageId": img_id,
+                        "Caption": r["caption"],
+                        "Fmt": fmt,
+                        "W": int(r["img_w"]),
+                        "H": int(r["img_h"]),
+                        "Phash": int(r["phash"]) if r["phash"] is not None else None,
+                        "Psnr": psnr_v,
+                        "PixelsOk": ok,
+                    }
+                res["Payload"] = payload
+                rows.append(res)
+            yield _rows_to_pdf(rows)
+
+    return fn
+
+
+class SparkCrawler:
+    """Distributed reimplementation of the reference crawler
+    (see module docstring). ``pages_df``/``robots_df`` replace the
+    network; ``images_df`` is the input_hint image+caption table."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        cfg: CrawlConfig,
+        pages_df: DataFrame,
+        robots_df: DataFrame,
+        images_df: DataFrame | None = None,
+        workdir: str | None = None,
+        check_payload: bool = True,
+    ):
+        from .shipping import ensure_shipped
+
+        ensure_shipped(spark)
+        self.spark = spark
+        self.cfg = cfg.validate()
+        check_patterns(cfg.Include)
+        check_patterns(cfg.Exclude)
+        self.workdir = workdir or tempfile.mkdtemp(prefix="crawlspark-")
+        self.store = SnapshotStore(spark, self.workdir)
+        self.check_payload = check_payload
+        self.bloom_cfg = bloomfilter.BloomConfig(
+            cfg.bloom_shards, cfg.bloom_bits_per_shard, cfg.bloom_hashes
+        )
+        # the "web": pages keyed by fragmentless canonical url
+        self.pages = pages_df
+        if images_df is not None:
+            self.pages = pages_df.join(
+                images_df.select(
+                    F.col("image_id").alias("_img_id"),
+                    F.col("bytes").alias("image_bytes"),
+                    F.col("w").alias("img_w"),
+                    F.col("h").alias("img_h"),
+                    "fmt",
+                    "caption",
+                    "phash",
+                ),
+                pages_df["image_id"] == F.col("_img_id"),
+                "left",
+            ).drop("_img_id")
+        self.robots = robots_df.select(
+            F.col("scheme").alias("r_scheme"),
+            F.col("host").alias("r_host"),
+            F.col("status_code").alias("robots_status"),
+            F.col("body").alias("robots_body"),
+        )
+
+    # ------------------------------------------------------------------
+
+    def _initial_frontier(self) -> DataFrame:
+        rows = []
+        for i, s in enumerate(self.cfg.From):
+            cs = canon.canon_seed(s)
+            if cs is None:
+                raise ValueError(f"bad seed URL {s!r}")  # parity: Start() error
+            rows.append((cs, 0, oracle.PRIORITY_SEED, i))
+        return self.spark.createDataFrame(rows, FRONTIER_SCHEMA)
+
+    def _apply_budget(self, allowed: DataFrame, budget: int) -> tuple[DataFrame, DataFrame]:
+        """Per-host politeness budget with hot-host salt-split: take
+        the first `budget` rows per (host, salt) slice ordered by
+        (priority, url_key); the rest defer to a sub-wave. Slices keep
+        aggregate take <= budget per host only approximately when
+        salted — the budget is a pacing device, not a semantic cap
+        (the reference's WaitTime pacing never drops URLs either:
+        state.go:29-41), so deferred rows always complete eventually."""
+        threshold = self.cfg.hot_host_salt_threshold
+        counted = allowed.withColumn(
+            "_host_n", F.count("*").over(Window.partitionBy("host"))
+        )
+        n_slices = F.greatest(F.lit(1), F.ceil(F.col("_host_n") / F.lit(threshold)))
+        salted = counted.withColumn(
+            "_salt", F.pmod(F.xxhash64("url_key"), n_slices).cast("int")
+        )
+        slice_budget = F.greatest(F.lit(1), F.ceil(F.lit(budget) / n_slices))
+        ranked = salted.withColumn(
+            "_rk",
+            F.row_number().over(
+                Window.partitionBy("host", "_salt").orderBy("priority", "url_key")
+            ),
+        ).withColumn("_take", F.col("_rk") <= slice_budget)
+        take = ranked.filter("_take").drop("_host_n", "_salt", "_rk", "_take")
+        defer = ranked.filter("NOT _take").drop("_host_n", "_salt", "_rk", "_take")
+        return take, defer
+
+    def _fetch_and_parse(self, gated_allowed: DataFrame) -> DataFrame:
+        joined = gated_allowed.select(
+            "url_key", "depth", "priority", "fetch_key", "host"
+        ).join(self.pages, F.col("fetch_key") == self.pages["url"], "inner")
+        if self.cfg.pacing_enabled and self.cfg.wait_seconds > 0:
+            wait = self.cfg.wait_seconds
+            budget = self.cfg.per_host_budget or self.cfg.Connections
+
+            def pace(key, pdf):
+                # token pacing per host group: Connections-wide pipeline,
+                # one spawn per wait tick (state.go:29-41 analog)
+                time.sleep(wait * max(0, math.ceil(len(pdf) / max(budget, 1)) - 1))
+                return pdf
+
+            joined = joined.groupBy("host").applyInPandas(pace, joined.schema)
+        return joined.mapInPandas(_parse_map(self.check_payload), RESULT_FULL_SCHEMA)
+
+    def _candidates(self, parsed_results: DataFrame) -> DataFrame:
+        r = parsed_results
+        redirects = (
+            r.filter((F.col("StatusCode") >= 300) & (F.col("StatusCode") < 400))
+            .filter(F.col("ResolvesTo").isNotNull() & F.col("ResolvesTo.Full").isNotNull())
+            .select(
+                F.col("ResolvesTo.Full").alias("url_key"),
+                F.lit(oracle.PRIORITY_REDIRECT).alias("priority"),
+                F.lit(False).alias("nofollow"),
+            )
+        )
+        links = (
+            r.select(F.explode("Links").alias("link"))
+            .select(
+                F.col("link.Address.Full").alias("url_key"),
+                F.lit(oracle.PRIORITY_LINK).alias("priority"),
+                F.coalesce(F.col("link.Nofollow"), F.lit(False)).alias("nofollow"),
+            )
+            .filter(F.col("url_key").isNotNull())
+        )
+        cand = redirects.unionByName(links)
+        cand = cand.filter(scope_filter_expr(F.col("url_key"), self.cfg.Include, self.cfg.Exclude))
+        if self.cfg.RespectNofollow:
+            cand = cand.filter(~F.col("nofollow"))
+        # within-wave first-discovery-wins -> min priority per url
+        return cand.groupBy("url_key").agg(F.min("priority").alias("priority"))
+
+    def _dedup_against_seen(self, cand: DataFrame, seen: DataFrame | None, bits: DataFrame | None):
+        if seen is None:
+            return cand
+        if self.cfg.bloom_prefilter and bits is not None:
+            probed = bloomfilter.probe(cand, bits, "url_key", self.bloom_cfg)
+            fresh = probed.filter(~F.col("_maybe_seen")).drop("_maybe_seen", "_h64", "_shard")
+            maybe = probed.filter(F.col("_maybe_seen")).drop("_maybe_seen", "_h64", "_shard")
+            verified = maybe.join(seen.select("url_key"), "url_key", "left_anti")
+            return fresh.unionByName(verified)
+        return cand.join(seen.select("url_key"), "url_key", "left_anti")
+
+    # ------------------------------------------------------------------
+
+    def _manifest_table(self, table: str, manifest_wave: int) -> DataFrame | None:
+        for m in self.store._manifests():
+            if m["wave"] == manifest_wave and table in m["tables"]:
+                return self.spark.read.parquet(*m["tables"][table]["files"])
+        return None
+
+    def run(self, resume: bool = False) -> SnapshotStore:
+        cfg = self.cfg
+        store = self.store
+        if resume:
+            last = store.last_complete_wave()
+            if last is None:
+                return self.run(resume=False)
+            store.truncate_after(last)
+            d = last + 1
+        else:
+            frontier = self._initial_frontier()
+            store.stage("frontier", frontier, 0, manifest_wave=-1)
+            seed_seen = frontier.select("url_key").distinct().withColumn("wave", F.lit(0))
+            store.stage("seen", seed_seen, 0, manifest_wave=-1)
+            if cfg.bloom_prefilter:
+                bits = bloomfilter.mark(
+                    seed_seen, bloomfilter.empty_bits_df(self.spark, self.bloom_cfg),
+                    "url_key", self.bloom_cfg,
+                )
+                store.stage("bloom", bits, 0, manifest_wave=-1)
+            store.commit_wave(-1, {"phase": "seeded"})
+            d = 0
+
+        while True:
+            # frontier for depth d is committed by manifest d-1
+            frontier = self._manifest_table("frontier", d - 1)
+            if frontier is None or frontier.isEmpty():
+                break
+            t0 = time.time()
+            metrics = self._run_wave(frontier, d)
+            metrics["seconds"] = round(time.time() - t0, 3)
+            store.commit_wave(d, metrics)
+            d += 1
+        return store
+
+    def _run_wave(self, frontier: DataFrame, d: int) -> dict:
+        cfg, store, spark = self.cfg, self.store, self.spark
+        fn, parts_schema = _url_parts_map(frontier.schema)
+        parts = frontier.mapInPandas(fn, parts_schema)
+        # robots.Locate parse failure (no host/scheme, e.g. mailto:)
+        # -> URL skipped silently, no result row (state.go:57-61 FIXME path)
+        parts = parts.filter(
+            F.col("host").isNotNull() & (F.col("host") != "") & (F.col("scheme") != "")
+        )
+        gated = parts.join(
+            F.broadcast(self.robots),
+            (parts["scheme"] == F.col("r_scheme")) & (parts["host"] == F.col("r_host")),
+            "left",
+        ).withColumn(
+            "_allowed",
+            _robots_allowed_udf(cfg.RobotsUserAgent)(
+                F.col("url_key"), F.col("robots_status"), F.col("robots_body")
+            ),
+        )
+
+        blocked = gated.filter(~F.col("_allowed")).select("url_key", "depth", "priority")
+        blocked_results = blocked.mapInPandas(_blocked_map(), RESULT_FULL_SCHEMA)
+        allowed = gated.filter(F.col("_allowed"))
+
+        budget = cfg.per_host_budget
+        parsed_slices = []
+        remaining = allowed
+        subwave = 0
+        while True:
+            if budget:
+                take, remaining = self._apply_budget(remaining, budget)
+            else:
+                take, remaining = remaining, None
+            parsed = self._fetch_and_parse(take)
+            info = store.stage(
+                f"results_sub{subwave}" if subwave else "results",
+                parsed.unionByName(blocked_results) if subwave == 0 else parsed,
+                d,
+            )
+            parsed_slices.append(info)
+            subwave += 1
+            if remaining is None or remaining.isEmpty():
+                break
+
+        # re-read staged results (cheap, avoids recompute) for candidates
+        result_files = [f for s in parsed_slices for f in s["files"]]
+        wave_results = spark.read.parquet(*result_files)
+        fetched_n = wave_results.filter(F.col("Status") != "Blocked by robots.txt").count()
+        blocked_n = wave_results.filter(F.col("Status") == "Blocked by robots.txt").count()
+
+        metrics = {
+            "frontier": frontier.count(),
+            "fetched": fetched_n,
+            "blocked": blocked_n,
+            "subwaves": subwave,
+            "candidates": 0,
+            "enqueued": 0,
+        }
+        if d < cfg.MaxDepth:
+            cand = self._candidates(wave_results)
+            # all seen slices committed so far: manifests -1 .. d-1
+            seen = store.read("seen", up_to=d - 1)
+            bits = self._latest_bloom() if cfg.bloom_prefilter else None
+            new = self._dedup_against_seen(cand, seen, bits)
+            nxt = new.select(
+                "url_key",
+                F.lit(d + 1).alias("depth"),
+                "priority",
+                F.lit(None).cast("int").alias("seed_order"),
+            )
+            nxt = nxt.repartition(cfg.shuffle_partitions, "url_key")
+            info = store.stage("frontier", nxt, d + 1, manifest_wave=d)
+            store.stage(
+                "seen",
+                spark.read.parquet(*info["files"]).select("url_key").withColumn("wave", F.lit(d + 1)),
+                d + 1,
+                manifest_wave=d,
+            )
+            if cfg.bloom_prefilter:
+                new_urls = spark.read.parquet(*info["files"]).select("url_key")
+                bits2 = bloomfilter.mark(new_urls, self._latest_bloom(), "url_key", self.bloom_cfg)
+                store.stage("bloom", bits2, d + 1, manifest_wave=d)
+            metrics["candidates"] = cand.count()
+            metrics["enqueued"] = info["rows"]
+        return metrics
+
+    def _latest_bloom(self) -> DataFrame:
+        # bloom bits are full-state per wave: read only the newest slice
+        ms = self.store._manifests()
+        for m in reversed(ms):
+            info = m["tables"].get("bloom")
+            if info:
+                return self.spark.read.parquet(*info["files"]).select("shard", "bits")
+        return bloomfilter.empty_bits_df(self.spark, self.bloom_cfg)
+
+    # ------------------------------------------------------------------
+
+    def results(self, ordered: bool = True) -> DataFrame:
+        dfs = []
+        for m in self.store._manifests():
+            for t, info in m["tables"].items():
+                if t == "results" or t.startswith("results_sub"):
+                    dfs.append(self.spark.read.parquet(*info["files"]))
+        if not dfs:
+            raise RuntimeError("no results staged — run() first")
+        out = dfs[0]
+        for df in dfs[1:]:
+            out = out.unionByName(df)
+        if ordered:
+            # determinism contract (SURVEY.md §7.6): refinement of the
+            # reference's depth-ascending guarantee (crawler.go:197-199)
+            out = out.orderBy("Depth", "Priority", "UrlKey")
+        return out
+
+    def seen(self) -> DataFrame:
+        return self.store.read("seen").select("url_key").distinct()

@@ -1,0 +1,40 @@
+"""Ship the crawlspark package to executors.
+
+UDF closures (mapInPandas/applyInPandas stages) unpickle on executor
+Python workers, which import ``crawlspark`` there. On a real cluster
+the job runs ``spark-submit --py-files crawlspark.zip`` (north_rule);
+for driver-side API use from an arbitrary cwd, ``ensure_shipped``
+zips the installed package once per session and registers it via
+``SparkContext.addPyFile`` — the same mechanism --py-files uses.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import zipfile
+
+__all__ = ["ensure_shipped", "make_pyfiles_zip"]
+
+
+def make_pyfiles_zip(dest: str | None = None) -> str:
+    """Zip the crawlspark package (for --py-files or addPyFile)."""
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    if dest is None:
+        dest = os.path.join(tempfile.gettempdir(), "crawlspark-pyfiles.zip")
+    with zipfile.ZipFile(dest, "w") as zf:
+        for root, _dirs, files in os.walk(pkg_dir):
+            for f in files:
+                if f.endswith(".py"):
+                    full = os.path.join(root, f)
+                    rel = os.path.relpath(full, os.path.dirname(pkg_dir))
+                    zf.write(full, rel)
+    return dest
+
+
+def ensure_shipped(spark) -> None:
+    sc = spark.sparkContext
+    if getattr(sc, "_crawlspark_shipped", False):
+        return
+    sc.addPyFile(make_pyfiles_zip())
+    sc._crawlspark_shipped = True

