@@ -1,0 +1,136 @@
+"""Bench harness (driver contract): runs the headline workload at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Two components:
+- crawl_engine: frontier-drain crawl over a distributed-generated
+  synthetic web (benchgen) — the BASELINE.json headline (URLs
+  fetched+deduped/sec recorded alongside as urls_per_sec).
+- analysis/ops headline queries at the sf dir: TPC-H Q1, minhash-LSH
+  dedup, brute-force + SRP ANN cosine top-k, quality scoring, and
+  the crawl SQL corpus over the committed fixture.
+
+Use scripts/scaling_bench.py for the N-vs-4N scaling-efficiency run
+(local[8] vs local[32]) reported in BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+# bench-tier crawl sizing (FIXTURES.md): ~50 hosts, hot host 3x,
+# depth 2 -> ~18k fetches, ~200k link candidates through dedup
+N_HOSTS = int(os.environ.get("CRAWLSPARK_BENCH_HOSTS", "50"))
+BRANCHING = int(os.environ.get("CRAWLSPARK_BENCH_BRANCHING", "16"))
+DEPTH = int(os.environ.get("CRAWLSPARK_BENCH_DEPTH", "2"))
+HOT = int(os.environ.get("CRAWLSPARK_BENCH_HOT", "3"))
+
+
+def build_spark(cpus: str = CPUS):
+    from pyspark.sql import SparkSession
+
+    return (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("crawlspark-bench")
+        .config("spark.sql.shuffle.partitions", str(max(int(cpus), 8)))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.driver.memory", "16g")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+
+
+def bench_crawl(spark) -> tuple[float, dict]:
+    from crawlspark import benchgen
+    from crawlspark.config import CrawlConfig
+    from crawlspark.engine import SparkCrawler
+
+    pages = benchgen.gen_pages(spark, N_HOSTS, BRANCHING, DEPTH, HOT)
+    # materialize the synthetic web first — generation is not crawl time
+    web_dir = os.path.join(tempfile.gettempdir(), f"crawlbench-web-{N_HOSTS}-{BRANCHING}-{DEPTH}-{HOT}")
+    if not os.path.exists(os.path.join(web_dir, "_SUCCESS")):
+        pages.write.mode("overwrite").parquet(web_dir)
+    pages_df = spark.read.parquet(web_dir)
+    robots_df = benchgen.gen_robots(spark, N_HOSTS)
+    cfg = CrawlConfig(
+        From=benchgen.seed_urls(N_HOSTS),
+        MaxDepth=DEPTH,
+        RespectNofollow=False,
+        shuffle_partitions=max(int(CPUS), 8),
+    )
+    crawler = SparkCrawler(
+        spark, cfg, pages_df, robots_df,
+        workdir=tempfile.mkdtemp(prefix="crawlbench-"), check_payload=False,
+    )
+    t0 = time.time()
+    crawler.run()
+    secs = time.time() - t0
+    fetched = sum(m.get("fetched", 0) for m in crawler.store.metrics())
+    expected = benchgen.expected_counts(N_HOSTS, BRANCHING, DEPTH, HOT)
+    assert fetched == expected, f"crawl fetched {fetched} != closed-form {expected}"
+    return secs, {"fetched": fetched, "urls_per_sec": round(fetched / secs, 1)}
+
+
+def bench_queries(spark) -> dict[str, float]:
+    import __spark_entry__ as entry
+
+    qs = entry.queries()
+    headline = [
+        "crawl_sf_emulation",
+        "crawl_inlinks",
+        "tpch_q1_pricing",
+        "topk_orders_per_customer",
+        "docs_quality",
+        "docs_minhash_lsh",
+        "docs_exact_dedup",
+        "emb_cosine_topk",
+        "emb_srp_ann_topk",
+        "images_phash_neardup",
+    ]
+    out = {}
+    for name in headline:
+        t0 = time.time()
+        n = qs[name](spark, SF_DIR).count()
+        out[name] = round(time.time() - t0, 3)
+        out[f"{name}_rows"] = n
+    return out
+
+
+def main():
+    spark = build_spark()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    crawl_secs, crawl_info = bench_crawl(spark)
+    qtimes = bench_queries(spark)
+
+    query_secs = {k: v for k, v in qtimes.items() if not k.endswith("_rows")}
+    total = round(crawl_secs + sum(query_secs.values()), 3)
+    result = {
+        "metric": "crawl+analysis wall seconds (crawl_engine = frontier drain of "
+        f"{crawl_info['fetched']} URLs across {N_HOSTS} hosts, depth {DEPTH})",
+        "value": total,
+        "unit": "sec",
+        "queries": {"crawl_engine": round(crawl_secs, 3), **query_secs},
+        "sf": SF_DIR,
+        "urls_per_sec": crawl_info["urls_per_sec"],
+        "cpus": int(CPUS),
+        "rows": {k[:-5]: v for k, v in qtimes.items() if k.endswith("_rows")},
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -144,7 +144,8 @@ def sf_emulation(crawl: DataFrame) -> DataFrame:
         joined.select(
             "Depth",
             "FullAddress",
-            F.element_at(F.filter("Header", lambda h: h["K"] == "Content-Type"), 1)["V"].alias(
+            # F.get is null-safe out-of-bounds (ANSI mode is on; element_at throws)
+            F.get(F.filter("Header", lambda h: h["K"] == "Content-Type"), 0)["V"].alias(
                 "ContentType"
             ),
             "Status",

@@ -1,0 +1,231 @@
+"""Deduplication operators over `documents` (build brief: exact,
+MinHash+LSH, SimHash, n-gram Jaccard, embedding-cosine near-dup).
+
+Portability contract: exact/minhash/jaccard use md5 (present and
+identical in Spark and DuckDB) so every hash-derived value is
+cross-engine checkable; simhash needs 64-bit bit surgery -> pandas
+UDF, rows-only check.
+
+Scale shape (the 100 TB view):
+- exact_dedup: one hash-groupBy shuffle on a 32-hex key — minimal.
+- minhash_lsh: signatures are a narrow map (no shuffle); the LSH
+  band self-join shuffles on (band_idx, band_hash) — band hash is
+  high-entropy so it's skew-free by construction; pair output is
+  bounded by true near-dups, never O(n²).
+- ngram_jaccard: exact pairwise check — only sane when blocked
+  (here: per `source`); at scale this runs AFTER lsh as the verify
+  stage on candidate pairs.
+- embedding_neardup: label-blocked cosine pairs (IVF-style bucketing
+  is in ops/similarity.py).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+__all__ = [
+    "exact_dedup", "minhash_signatures", "minhash_lsh_pairs",
+    "ngram_jaccard_pairs", "simhash", "embedding_neardup",
+]
+
+_WS = r"\s+"
+
+
+def _md5(col):
+    return F.md5(F.encode(col, "utf-8"))
+
+
+def exact_dedup(docs: DataFrame) -> DataFrame:
+    """Exact dedup via content hash: one row per distinct content,
+    with group size and the member ids (kept = min id, the usual
+    'first wins' policy)."""
+    return (
+        docs.groupBy(_md5(F.col("text")).alias("content_hash"))
+        .agg(
+            F.count("*").alias("n_dups"),
+            F.min("doc_id").alias("keep_doc_id"),
+            F.concat_ws(",", F.array_sort(F.collect_set(F.col("doc_id").cast("string")))).alias(
+                "doc_ids"
+            ),
+        )
+        .orderBy(F.desc("n_dups"), "content_hash")
+    )
+
+
+def _shingles(shingle_words: int):
+    words = F.split(F.trim("text"), _WS)
+    idx = F.sequence(F.lit(0), F.greatest(F.size(words) - shingle_words, F.lit(0)))
+    return F.transform(
+        idx, lambda i: F.concat_ws(" ", F.slice(words, i + 1, shingle_words))
+    )
+
+
+def minhash_signatures(docs: DataFrame, n_perm: int = 16, shingle_words: int = 2) -> DataFrame:
+    """MinHash signature: perm i's hash of shingle s is
+    md5(s || ':' || i); the min over shingles of the 32-hex string is
+    the signature component (lexicographic min of fixed-width hex ==
+    numeric min). Pure column expressions -> no shuffle."""
+    sh = F.array_distinct(_shingles(shingle_words))
+
+    def perm_min(i: int):
+        # NB: single-arg lambda — a two-arg transform lambda would
+        # receive (element, array_index) and shadow the perm index
+        return F.array_min(
+            F.transform(sh, lambda s: _md5(F.concat_ws(":", s, F.lit(str(i)))))
+        )
+
+    sig = F.array(*[perm_min(i) for i in range(n_perm)])
+    return docs.select("doc_id", sig.alias("sig"))
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame, n_perm: int = 16, bands: int = 4, shingle_words: int = 2
+) -> DataFrame:
+    """LSH banding: signature split into `bands` rows of
+    n_perm/bands; band key = md5 of the concatenated band slice;
+    candidate pairs = docs sharing any band key, scored by signature
+    agreement (the MinHash Jaccard estimate)."""
+    rows_per_band = n_perm // bands
+    sigs = minhash_signatures(docs, n_perm, shingle_words)
+    banded = sigs.select(
+        "doc_id",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_idx"),
+                        _md5(
+                            F.concat_ws(
+                                "|", F.slice("sig", b * rows_per_band + 1, rows_per_band)
+                            )
+                        ).alias("band_hash"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc_id", "sig", "band.band_idx", "band.band_hash")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.round(
+                F.size(
+                    F.filter(
+                        F.zip_with("a.sig", "b.sig", lambda x, y: x == y),
+                        lambda eq: eq,
+                    )
+                )
+                / F.lit(float(16 if n_perm == 16 else n_perm)),
+                4,
+            ).alias("est_jaccard"),
+        )
+        .distinct()
+    )
+    return pairs.orderBy(F.desc("est_jaccard"), "doc_a", "doc_b")
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame, threshold: float = 0.5, block_col: str = "source", shingle_words: int = 2
+) -> DataFrame:
+    """Exact n-gram Jaccard within a blocking key (at scale: the
+    verify stage on LSH candidates; here blocked by `source` to bound
+    pairs). Set semantics via array_distinct/intersect/union."""
+    sh = docs.select(
+        "doc_id", block_col, F.array_distinct(_shingles(shingle_words)).alias("grams")
+    )
+    a, b = sh.alias("a"), sh.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col(f"a.{block_col}") == F.col(f"b.{block_col}"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.round(
+                F.size(F.array_intersect("a.grams", "b.grams"))
+                / F.greatest(F.size(F.array_union("a.grams", "b.grams")), F.lit(1)),
+                4,
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .orderBy(F.desc("jaccard"), "doc_a", "doc_b")
+    )
+
+
+def simhash(docs: DataFrame) -> DataFrame:
+    """64-bit SimHash over word md5 hashes (vectorized numpy inside a
+    pandas UDF; bit surgery isn't portable SQL -> rows-only check)."""
+
+    @F.pandas_udf(T.LongType())
+    def _simhash(texts: pd.Series) -> pd.Series:
+        import hashlib
+
+        out = np.empty(len(texts), dtype=np.int64)
+        for i, t in enumerate(texts):
+            words = (t or "").split()
+            if not words:
+                out[i] = 0
+                continue
+            hs = np.array(
+                [
+                    int.from_bytes(hashlib.md5(w.encode()).digest()[:8], "big")
+                    for w in words
+                ],
+                dtype=np.uint64,
+            )
+            bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)) & 1).astype(np.int64)
+            v = (bits * 2 - 1).sum(axis=0)
+            h = np.uint64(0)
+            for bpos in np.nonzero(v > 0)[0]:
+                h |= np.uint64(1) << np.uint64(bpos)
+            out[i] = np.int64(h.astype(np.int64))
+        return pd.Series(out)
+
+    return docs.select("doc_id", _simhash(F.col("text")).alias("simhash64")).orderBy("doc_id")
+
+
+def embedding_neardup(
+    emb: DataFrame, threshold: float = 0.92, block_col: str = "label"
+) -> DataFrame:
+    """Embedding-cosine near-duplicates, blocked to avoid O(n²)
+    (label here; IVF buckets at scale). Cosine in float64 via
+    higher-order zip_with/aggregate — all JVM-side."""
+    e = emb.select("vec_id", block_col, F.col("embedding").cast("array<double>").alias("v"))
+    a, b = e.alias("a"), e.alias("b")
+
+    def dot(x, y):
+        return F.aggregate(F.zip_with(x, y, lambda p, q: p * q), F.lit(0.0), lambda s, t: s + t)
+
+    cos = dot(F.col("a.v"), F.col("b.v")) / (
+        F.sqrt(dot(F.col("a.v"), F.col("a.v"))) * F.sqrt(dot(F.col("b.v"), F.col("b.v")))
+    )
+    return (
+        a.join(
+            b,
+            (F.col(f"a.{block_col}") == F.col(f"b.{block_col}"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.round(cos, 4).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .orderBy(F.desc("cosine"), "vec_a", "vec_b")
+    )

@@ -1,0 +1,110 @@
+"""Similarity search over `embeddings(vec_id, embedding float[], label)`.
+
+- ``cosine_topk``: brute-force exact top-k — the correctness baseline.
+  Cosine in float64 via zip_with/aggregate (JVM-side, no UDF).
+- ``srp_ann_topk``: the scale path — sign-random-projection LSH.
+  The hyperplanes live in a committed parquet fixture
+  (fixtures/planes.parquet) so BOTH Spark and the DuckDB oracle
+  compute identical buckets: the projection is expressed as a
+  join-aggregate (posexplode(embedding) ⋈ planes on dim, sum of
+  products per (vec, plane)) — i.e., the matrix multiply AS a join,
+  which is exactly how it distributes at 10^9 vectors. Same-bucket
+  candidates are re-ranked by exact cosine.
+
+Scale notes: brute-force is O(Q·N) — fine for a query batch against
+a broadcast candidate set, wrong at N=10^9; SRP buckets cut N to
+N/2^bits per probe with a high-entropy key (skew-free shuffle).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+__all__ = ["cosine_topk", "srp_ann_topk", "srp_buckets"]
+
+
+def _dot(x, y):
+    return F.aggregate(F.zip_with(x, y, lambda p, q: p * q), F.lit(0.0), lambda s, t: s + t)
+
+
+def _cos(av, bv):
+    return _dot(av, bv) / (F.sqrt(_dot(av, av)) * F.sqrt(_dot(bv, bv)))
+
+
+def cosine_topk(emb: DataFrame, k: int = 5, n_queries: int = 10) -> DataFrame:
+    """Exact top-k cosine neighbors for the first ``n_queries``
+    vectors (excluding self). Query side is tiny -> broadcast it so
+    the cross join is a broadcast nested loop, not a shuffle."""
+    e = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    q = F.broadcast(
+        e.filter(F.col("vec_id") < n_queries).select(
+            F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
+        )
+    )
+    scored = (
+        q.crossJoin(e)
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            F.col("vec_id").alias("n_id"),
+            F.round(_cos(F.col("qv"), F.col("v")), 4).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), "n_id")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .orderBy("q_id", "rnk")
+    )
+
+
+def srp_buckets(emb: DataFrame, planes: DataFrame) -> DataFrame:
+    """Sign-random-projection bucket per vector: posexplode the
+    embedding, join the plane weights on dim, sum products per
+    (vec, plane), collect sign bits into a bucket string."""
+    comp = emb.select("vec_id", F.posexplode(F.col("embedding").cast("array<double>")).alias("dim", "x"))
+    proj = (
+        comp.join(F.broadcast(planes), "dim")
+        .groupBy("vec_id", "plane")
+        .agg(F.sum(F.col("x") * F.col("w")).alias("p"))
+    )
+    return proj.groupBy("vec_id").agg(
+        F.concat_ws(
+            "",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("plane", (F.col("p") >= 0).cast("int").alias("bit")))
+                ),
+                lambda s: s["bit"].cast("string"),
+            ),
+        ).alias("bucket")
+    )
+
+
+def srp_ann_topk(
+    emb: DataFrame, planes: DataFrame, k: int = 5, n_queries: int = 10
+) -> DataFrame:
+    """ANN: same-bucket candidates re-ranked by exact cosine."""
+    e = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    buckets = srp_buckets(emb, planes)
+    eb = e.join(buckets, "vec_id")
+    q = eb.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv"), "bucket"
+    )
+    scored = (
+        q.join(eb, "bucket")
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            F.col("vec_id").alias("n_id"),
+            F.round(_cos(F.col("qv"), F.col("v")), 4).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), "n_id")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .orderBy("q_id", "rnk")
+    )

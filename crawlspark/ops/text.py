@@ -1,0 +1,117 @@
+"""Text-analysis operators over a `documents(doc_id, text, lang,
+source, n_chars)` table.
+
+All-JVM where possible (token/quality/fingerprint are pure column
+expressions with DuckDB-oracle SQL equivalents in __spark_entry__);
+language-ID is an n-gram-profile scorer that genuinely needs Python
+-> vectorized pandas UDF (Arrow-batched), checked rows-only.
+
+Scale notes: every operator here is embarrassingly parallel (no
+shuffle at all — narrow transformations over the scan), so they
+pipeline inside WholeStageCodegen / one Arrow pass and scale linearly
+with input splits.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+__all__ = ["token_stats", "quality_score", "fingerprint", "langid"]
+
+_WS = r"\s+"
+
+
+def token_stats(docs: DataFrame) -> DataFrame:
+    """Whitespace tokens + BPE-ish subword count (4-char chunks of
+    long tokens approximate a byte-level BPE budget)."""
+    toks = F.split(F.trim("text"), _WS)
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.length("text").alias("n_chars_calc"),
+        F.aggregate(
+            toks, F.lit(0), lambda acc, t: acc + F.ceil(F.length(t) / 4).cast("int")
+        ).alias("n_subwords"),
+    ).orderBy("doc_id")
+
+
+def quality_score(docs: DataFrame) -> DataFrame:
+    """Heuristic quality features: length, punctuation ratio, stopword
+    ratio, mean token length — the usual pretraining-filter features."""
+    toks = F.split(F.trim("text"), _WS)
+    n_tok = F.size(toks)
+    stop_hits = F.size(
+        F.filter(toks, lambda t: t.isin("the", "a", "and", "of", "to", "in", "is"))
+    )
+    punct = F.length("text") - F.length(F.regexp_replace("text", r"[^\w\s]", ""))
+    return docs.select(
+        "doc_id",
+        F.length("text").alias("n_chars_calc"),
+        n_tok.alias("n_tokens"),
+        F.round(punct / F.greatest(F.length("text"), F.lit(1)), 4).alias("punct_ratio"),
+        F.round(stop_hits / F.greatest(n_tok, F.lit(1)), 4).alias("stopword_ratio"),
+        F.round(
+            (F.length(F.regexp_replace("text", _WS, "")) / F.greatest(n_tok, F.lit(1))), 4
+        ).alias("mean_token_len"),
+    ).orderBy("doc_id")
+
+
+def fingerprint(docs: DataFrame, k: int = 4, shingle_words: int = 3) -> DataFrame:
+    """Document fingerprint: k smallest md5 hashes over word
+    shingles (a k-min sketch — the winnowing-style rolling-hash
+    fingerprint, expressed portably via md5 so the DuckDB oracle
+    computes the identical value)."""
+    words = F.split(F.trim("text"), _WS)
+    idx = F.sequence(F.lit(0), F.greatest(F.size(words) - shingle_words, F.lit(0)))
+    shingles = F.transform(
+        idx,
+        lambda i: F.md5(
+            F.encode(
+                F.concat_ws(" ", F.slice(words, i + 1, shingle_words)), "utf-8"
+            )
+        ),
+    )
+    return docs.select(
+        "doc_id",
+        F.concat_ws(",", F.slice(F.array_sort(F.array_distinct(shingles)), 1, k)).alias(
+            "fingerprint"
+        ),
+    ).orderBy("doc_id")
+
+
+# --- language-ID: n-gram profile heuristic (pandas UDF, rows-only check) ---
+
+_PROFILES = {
+    "en": [" th", "the", "he ", " an", "and", "nd ", " of", "of ", "ing", " to"],
+    "es": [" de", "de ", " la", "la ", "os ", " el", "el ", "ión", " qu", "que"],
+    "fr": [" de", "de ", " le", "le ", "es ", " la", "ent", " et", "et ", "ion"],
+    "de": ["en ", " de", "der", "er ", "ie ", " di", "die", "ch ", "ein", "sch"],
+}
+
+
+def langid(docs: DataFrame) -> DataFrame:
+    """Character-trigram profile scorer. On synthetic word-salad text
+    this mostly says 'en'/'unknown' — the operator (not the
+    classifier) is what the pipeline needs."""
+
+    @F.pandas_udf(T.StringType())
+    def _lid(texts: pd.Series) -> pd.Series:
+        def score(t: str) -> str:
+            if not t:
+                return "unknown"
+            tl = t.lower()
+            best, best_s = "unknown", 0
+            for lang, grams in _PROFILES.items():
+                s = sum(tl.count(g) for g in grams)
+                if s > best_s:
+                    best, best_s = lang, s
+            return best
+
+        return texts.map(score)
+
+    return docs.select("doc_id", "lang", _lid(F.col("text")).alias("lang_pred")).orderBy(
+        "doc_id"
+    )

@@ -28,10 +28,16 @@ SITE_HOST = "site-0.test"
 CANON_HOST = "www.example.com"
 
 
-def render_page(host: str, pid: str, branching: int = 10, extra_links=()) -> str:
-    """nice_page.html-shaped body for page `pid` on `host`."""
+def render_page(host: str, pid: str, branching: int = 10, extra_links=(), sep: str = "") -> str:
+    """nice_page.html-shaped body for page `pid` on `host`. ``sep``
+    joins child ids (bench uses "." so branching factors >10 stay
+    unambiguous; "" preserves the reference fixture's digit-concat)."""
+
+    def child_id(e: int) -> str:
+        return f"{pid}{sep}{e}" if pid else str(e)
+
     children = "".join(
-        f'  <a href="/{pid}{e}" rel="{"nofollow" if e % 2 == 1 else ""}">Child {e}</a>\n'
+        f'  <a href="/{child_id(e)}" rel="{"nofollow" if e % 2 == 1 else ""}">Child {e}</a>\n'
         for e in range(branching)
     )
     extras = "".join(f'  <a href="{href}">{anchor}</a>\n' for href, anchor in extra_links)
@@ -64,6 +70,7 @@ def page_row(
     branching: int = 10,
     extra_links=(),
     image_id: str | None = None,
+    sep: str = "",
 ) -> dict:
     status_text = {
         200: "200 OK", 301: "301 Moved Permanently", 302: "302 Found",
@@ -71,7 +78,7 @@ def page_row(
     }.get(status_code, f"{status_code} Status")
     html = None
     if content_type.startswith("text/html") and status_code == 200:
-        html = render_page(host, pid, branching, extra_links)
+        html = render_page(host, pid, branching, extra_links, sep=sep)
     return {
         "url": f"http://{host}/{pid}",
         "status_code": status_code,

@@ -91,6 +91,23 @@ def main():
     pq.write_table(img_table, os.path.join(out_dir, "images.parquet"), compression="snappy")
     print(f"images.parquet: {img_table.num_rows} rows")
 
+    # sign-random-projection hyperplanes for ops/similarity.srp_ann —
+    # committed so Spark and the DuckDB oracle share identical planes
+    import numpy as np
+
+    rng = np.random.RandomState(42)
+    n_planes, n_dims = 6, 64
+    w = rng.standard_normal((n_planes, n_dims))
+    planes = pa.Table.from_pydict(
+        {
+            "plane": np.repeat(np.arange(n_planes, dtype=np.int32), n_dims),
+            "dim": np.tile(np.arange(n_dims, dtype=np.int32), n_planes),
+            "w": np.round(w.ravel(), 6),
+        }
+    )
+    pq.write_table(planes, os.path.join(out_dir, "planes.parquet"), compression="snappy")
+    print(f"planes.parquet: {planes.num_rows} rows")
+
 
 if __name__ == "__main__":
     main()

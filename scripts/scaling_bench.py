@@ -1,0 +1,118 @@
+"""Scaling-efficiency evidence (BASELINE.json north_rule: >=0.8
+between N and 4N executors).
+
+No real cluster exists in this sandbox, so per the driver protocol we
+run the SAME crawl job on the SAME input at two parallelism levels —
+local[8] (N) and local[32] (4N) — in separate processes (a JVM's
+local-mode thread pool is fixed at startup), and report throughput at
+both plus efficiency = T(4N) / (4 * T(N)) where T is URLs/sec.
+
+Results are appended to BASELINE.md. Usage:
+    python scripts/scaling_bench.py            # both runs + report
+    python scripts/scaling_bench.py --run 8    # single run (internal)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import tempfile
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+N_HOSTS = int(os.environ.get("CRAWLSPARK_SCALE_HOSTS", "120"))
+BRANCHING = int(os.environ.get("CRAWLSPARK_SCALE_BRANCHING", "16"))
+DEPTH = int(os.environ.get("CRAWLSPARK_SCALE_DEPTH", "2"))
+HOT = int(os.environ.get("CRAWLSPARK_SCALE_HOT", "3"))
+WEB_DIR = os.path.join(
+    tempfile.gettempdir(), f"crawlscale-web-{N_HOSTS}-{BRANCHING}-{DEPTH}-{HOT}"
+)
+
+
+def single_run(cpus: int) -> dict:
+    from crawlspark import benchgen
+    from crawlspark.config import CrawlConfig
+    from crawlspark.engine import SparkCrawler
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(f"crawlspark-scale-{cpus}")
+        .config("spark.sql.shuffle.partitions", str(max(cpus, 8)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.driver.memory", "16g")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    if not os.path.exists(os.path.join(WEB_DIR, "_SUCCESS")):
+        benchgen.gen_pages(spark, N_HOSTS, BRANCHING, DEPTH, HOT).write.mode(
+            "overwrite"
+        ).parquet(WEB_DIR)
+    pages = spark.read.parquet(WEB_DIR)
+    robots = benchgen.gen_robots(spark, N_HOSTS)
+    cfg = CrawlConfig(
+        From=benchgen.seed_urls(N_HOSTS),
+        MaxDepth=DEPTH,
+        RespectNofollow=False,
+        shuffle_partitions=max(cpus, 8),
+    )
+    crawler = SparkCrawler(
+        spark, cfg, pages, robots,
+        workdir=tempfile.mkdtemp(prefix=f"crawlscale-{cpus}-"), check_payload=False,
+    )
+    t0 = time.time()
+    crawler.run()
+    secs = time.time() - t0
+    fetched = sum(m.get("fetched", 0) for m in crawler.store.metrics())
+    expected = benchgen.expected_counts(N_HOSTS, BRANCHING, DEPTH, HOT)
+    assert fetched == expected, (fetched, expected)
+    spark.stop()
+    return {"cpus": cpus, "seconds": round(secs, 2), "fetched": fetched,
+            "urls_per_sec": round(fetched / secs, 1)}
+
+
+def main():
+    if len(sys.argv) >= 3 and sys.argv[1] == "--run":
+        print("RESULT " + json.dumps(single_run(int(sys.argv[2]))))
+        return
+
+    results = {}
+    for cpus in (8, 32):
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--run", str(cpus)],
+            capture_output=True, text=True, cwd=REPO, timeout=3600,
+        )
+        line = [ln for ln in out.stdout.splitlines() if ln.startswith("RESULT ")]
+        if not line:
+            print(out.stdout[-2000:], out.stderr[-4000:])
+            raise SystemExit(f"run at local[{cpus}] failed")
+        results[cpus] = json.loads(line[-1][len("RESULT "):])
+        print(results[cpus])
+
+    t8, t32 = results[8]["urls_per_sec"], results[32]["urls_per_sec"]
+    eff = round(t32 / (4 * t8), 3)
+    print(json.dumps({"local8": results[8], "local32": results[32], "efficiency": eff}))
+
+    stamp = (
+        f"\n## Scaling run ({N_HOSTS} hosts x branching {BRANCHING} depth {DEPTH}, "
+        f"hot x{HOT}; {results[8]['fetched']} URLs fetched+deduped)\n\n"
+        f"| parallelism | wall s | URLs/sec |\n|---|---|---|\n"
+        f"| local[8] (N) | {results[8]['seconds']} | {t8} |\n"
+        f"| local[32] (4N) | {results[32]['seconds']} | {t32} |\n\n"
+        f"**Scaling efficiency T(4N)/(4·T(N)) = {eff}** "
+        f"(target ≥ 0.8 per BASELINE.json; same job, same input, two parallelism "
+        f"levels — the sandbox evidence protocol for the two-cluster-size rule).\n"
+    )
+    with open(os.path.join(REPO, "BASELINE.md"), "a") as f:
+        f.write(stamp)
+    print("appended to BASELINE.md")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,62 @@
+"""Driver-contract tests: entry() smoke + every queries() entry runs
+and (when an oracle exists) matches DuckDB exactly at sf0.001 — the
+same comparison the driver performs at sf0.01
+(scripts/check_oracles.py is the standalone version).
+"""
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as entrymod
+from scripts.check_oracles import TABLES, norm
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def duck():
+    import duckdb
+
+    con = duckdb.connect()
+    for t in TABLES:
+        p = os.path.join(SF, f"{t}.parquet")
+        if os.path.exists(p):
+            con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    return con
+
+
+def test_entry_smoke(spark):
+    df = entrymod.entry(spark)
+    assert df.count() > 0
+    assert "doc_id" in df.columns
+
+
+_QUERIES = entrymod.queries()
+_ORACLES = entrymod.oracle_sql()
+
+
+def test_oracle_keys_subset():
+    assert set(_ORACLES) <= set(_QUERIES)
+
+
+@pytest.mark.parametrize("name", sorted(_QUERIES))
+def test_query_vs_oracle(name, spark, duck):
+    sdf = _QUERIES[name](spark, SF)
+    rows = sdf.collect()
+    if name not in _ORACLES:
+        assert rows is not None  # rows-only contract: runs, stable schema
+        return
+    rel = duck.sql(_ORACLES[name])
+    duck_cols = [d[0] for d in rel.description]
+    duck_rows = rel.fetchall()
+    assert sorted(c.lower() for c in sdf.columns) == sorted(c.lower() for c in duck_cols)
+    assert len(rows) == len(duck_rows)
+    s_order = sorted(range(len(sdf.columns)), key=lambda i: sdf.columns[i].lower())
+    d_order = sorted(range(len(duck_cols)), key=lambda i: duck_cols[i].lower())
+    s_vals = sorted(tuple(norm(tuple(r)[i]) for i in s_order) for r in rows)
+    d_vals = sorted(tuple(norm(r[i]) for i in d_order) for r in duck_rows)
+    assert s_vals == d_vals
