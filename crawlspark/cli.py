@@ -1,0 +1,129 @@
+"""CLI parity with the reference binary (/root/reference/crawl.go:45-63):
+
+  python -m crawlspark.cli spider config.json [--pages P --robots R]
+  python -m crawlspark.cli list   [-format=text|xml] config.json < urls
+  python -m crawlspark.cli sitemap <url-or-path>
+  python -m crawlspark.cli schema
+  python -m crawlspark.cli help
+
+`spider`/`list` run the Spark engine against a fixture web (parquet
+pages/robots tables; the sandbox has no network) and stream NDJSON
+Result rows to stdout in the deterministic (depth, priority, url)
+order — the BigQuery-ingestable format of crawl.go:138-160. `list`
+overrides From with stdin URLs and forces MaxDepth=0
+(crawl.go:133-134). `schema` prints the BigQuery JSON schema
+(crawl.go:67-70).
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import tempfile
+
+
+def _build_spark():
+    from pyspark.sql import SparkSession
+
+    return (
+        SparkSession.builder.master("local[8]")
+        .appName("crawlspark-cli")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+
+
+def _emit_ndjson(crawler) -> int:
+    n = 0
+    for row in crawler.results(ordered=True).toLocalIterator():
+        d = row.asDict(recursive=True)
+        for extra in ("Priority", "UrlKey", "Payload", "_wave", "_part"):
+            d.pop(extra, None)
+        # omitempty parity (result.go:20-42): drop nulls and empty arrays
+        clean = {k: v for k, v in d.items() if v not in (None, [])}
+        print(json.dumps(clean, separators=(",", ":")))
+        n += 1
+    return n
+
+
+def _run_crawl(cfg, pages_path: str | None, robots_path: str | None) -> int:
+    from .engine import SparkCrawler
+    from .testkit import matrix_site, pages_to_spark, robots_to_spark
+
+    spark = _build_spark()
+    spark.sparkContext.setLogLevel("ERROR")
+    if pages_path and robots_path:
+        pages_df = spark.read.parquet(pages_path)
+        robots_df = spark.read.parquet(robots_path)
+    else:
+        # no network in this sandbox: default to the matrix fixture web
+        pages_pdf, robots_pdf, _ = matrix_site()
+        pages_df = pages_to_spark(spark, pages_pdf)
+        robots_df = robots_to_spark(spark, robots_pdf)
+    crawler = SparkCrawler(spark, cfg, pages_df, robots_df, workdir=tempfile.mkdtemp())
+    crawler.run()
+    return _emit_ndjson(crawler)
+
+
+def main(argv: list[str] | None = None) -> int:
+    from .config import CrawlConfig
+    from .schema import bigquery_json
+
+    argv = argv if argv is not None else sys.argv[1:]
+    if not argv or argv[0] in ("help", "-h", "--help"):
+        print(__doc__)
+        return 0
+    cmd, *rest = argv
+
+    if cmd == "schema":
+        print(bigquery_json())
+        return 0
+
+    if cmd == "sitemap":
+        from . import sitemap
+
+        src = rest[0]
+        if src.startswith("http"):
+            print("no network in this sandbox: pass a local sitemap path", file=sys.stderr)
+            return 1
+        with open(src, "rb") as f:
+            data = f.read()
+        urls = sitemap.parse(data) or [
+            u for child in sitemap.parse_index(data) for u in ([child])
+        ]
+        for u in urls:
+            print(u)
+        return 0
+
+    if cmd in ("spider", "list"):
+        fmt = "text"
+        rest = [a for a in rest if not (a.startswith("-format=") and (fmt := a.split("=")[1]))]
+        pages_path = robots_path = None
+        cleaned = []
+        it = iter(rest)
+        for a in it:
+            if a == "--pages":
+                pages_path = next(it)
+            elif a == "--robots":
+                robots_path = next(it)
+            else:
+                cleaned.append(a)
+        with open(cleaned[0]) as f:
+            cfg = CrawlConfig.from_json(f.read())
+        if cmd == "list":
+            from . import sitemap
+
+            stdin = sys.stdin.read()
+            queue = sitemap.parse(stdin) if fmt == "xml" else sitemap.list_from_text(stdin)
+            cfg.From = queue
+            cfg.MaxDepth = 0  # crawl.go:133-134
+        _run_crawl(cfg, pages_path, robots_path)
+        return 0
+
+    print(f"unknown command {cmd!r}", file=sys.stderr)
+    return 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

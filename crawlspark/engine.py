@@ -326,11 +326,15 @@ class SparkCrawler:
 
     # ------------------------------------------------------------------
 
-    def _manifest_table(self, table: str, manifest_wave: int) -> DataFrame | None:
+    def _manifest_info(self, table: str, manifest_wave: int) -> dict | None:
         for m in self.store._manifests():
             if m["wave"] == manifest_wave and table in m["tables"]:
-                return self.spark.read.parquet(*m["tables"][table]["files"])
+                return m["tables"][table]
         return None
+
+    def _manifest_table(self, table: str, manifest_wave: int) -> DataFrame | None:
+        info = self._manifest_info(table, manifest_wave)
+        return self.spark.read.parquet(*info["files"]) if info else None
 
     def run(self, resume: bool = False) -> SnapshotStore:
         cfg = self.cfg
@@ -356,18 +360,20 @@ class SparkCrawler:
             d = 0
 
         while True:
-            # frontier for depth d is committed by manifest d-1
-            frontier = self._manifest_table("frontier", d - 1)
-            if frontier is None or frontier.isEmpty():
+            # frontier for depth d is committed by manifest d-1; its
+            # row count is already in the manifest — no isEmpty() job
+            info = self._manifest_info("frontier", d - 1)
+            if info is None or info["rows"] == 0:
                 break
+            frontier = self.spark.read.parquet(*info["files"])
             t0 = time.time()
-            metrics = self._run_wave(frontier, d)
+            metrics = self._run_wave(frontier, d, info["rows"])
             metrics["seconds"] = round(time.time() - t0, 3)
             store.commit_wave(d, metrics)
             d += 1
         return store
 
-    def _run_wave(self, frontier: DataFrame, d: int) -> dict:
+    def _run_wave(self, frontier: DataFrame, d: int, frontier_rows: int | None = None) -> dict:
         cfg, store, spark = self.cfg, self.store, self.spark
         fn, parts_schema = _url_parts_map(frontier.schema)
         parts = frontier.mapInPandas(fn, parts_schema)
@@ -414,19 +420,22 @@ class SparkCrawler:
         # re-read staged results (cheap, avoids recompute) for candidates
         result_files = [f for s in parsed_slices for f in s["files"]]
         wave_results = spark.read.parquet(*result_files)
-        fetched_n = wave_results.filter(F.col("Status") != "Blocked by robots.txt").count()
-        blocked_n = wave_results.filter(F.col("Status") == "Blocked by robots.txt").count()
+        staged_rows = sum(s["rows"] for s in parsed_slices)
+        blocked_n = (
+            wave_results.filter(F.col("Status") == "Blocked by robots.txt").count()
+        )
 
         metrics = {
-            "frontier": frontier.count(),
-            "fetched": fetched_n,
+            "frontier": frontier_rows if frontier_rows is not None else frontier.count(),
+            "fetched": staged_rows - blocked_n,
             "blocked": blocked_n,
             "subwaves": subwave,
             "candidates": 0,
             "enqueued": 0,
         }
         if d < cfg.MaxDepth:
-            cand = self._candidates(wave_results)
+            cand = self._candidates(wave_results).persist()
+            metrics["candidates"] = cand.count()
             # all seen slices committed so far: manifests -1 .. d-1
             seen = store.read("seen", up_to=d - 1)
             bits = self._latest_bloom() if cfg.bloom_prefilter else None
@@ -437,8 +446,11 @@ class SparkCrawler:
                 "priority",
                 F.lit(None).cast("int").alias("seed_order"),
             )
-            nxt = nxt.repartition(cfg.shuffle_partitions, "url_key")
+            # hash-distribute on the dedup/join key; AQE coalesces
+            # small post-shuffle partitions so tiny waves write few files
+            nxt = nxt.repartition("url_key")
             info = store.stage("frontier", nxt, d + 1, manifest_wave=d)
+            cand.unpersist()
             store.stage(
                 "seen",
                 spark.read.parquet(*info["files"]).select("url_key").withColumn("wave", F.lit(d + 1)),
@@ -449,7 +461,6 @@ class SparkCrawler:
                 new_urls = spark.read.parquet(*info["files"]).select("url_key")
                 bits2 = bloomfilter.mark(new_urls, self._latest_bloom(), "url_key", self.bloom_cfg)
                 store.stage("bloom", bits2, d + 1, manifest_wave=d)
-            metrics["candidates"] = cand.count()
             metrics["enqueued"] = info["rows"]
         return metrics
 

@@ -90,7 +90,9 @@ def minhash_lsh_pairs(
     candidate pairs = docs sharing any band key, scored by signature
     agreement (the MinHash Jaccard estimate)."""
     rows_per_band = n_perm // bands
-    sigs = minhash_signatures(docs, n_perm, shingle_words)
+    # persist: the band self-join would otherwise recompute the whole
+    # shingle->16x-md5 signature lineage for BOTH join sides
+    sigs = minhash_signatures(docs, n_perm, shingle_words).persist()
     banded = sigs.select(
         "doc_id",
         "sig",

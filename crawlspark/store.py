@@ -69,9 +69,12 @@ class SnapshotStore:
             for f in os.listdir(path)
             if f.endswith(".parquet")
         ]
+        # per-partition lineage from parquet footers — no Spark job
+        import pyarrow.parquet as pq
+
         part_counts = {
-            str(r["_part"]): r["n"]
-            for r in self.spark.read.parquet(path).groupBy("_part").agg(F.count("*").alias("n")).collect()
+            os.path.basename(f).split("-")[1]: pq.ParquetFile(f).metadata.num_rows
+            for f in files
         }
         rows = sum(part_counts.values())
         info = {"path": path, "files": sorted(files), "rows": rows, "partitions": part_counts}

@@ -1,0 +1,86 @@
+"""Structured Streaming surface.
+
+The reference is a batch tool (its level-synchronized BFS loop is the
+batch-iterative analog the north rule asks for, SURVEY.md §2A), but a
+production frontier pipeline wants streaming taps; these are the two
+canonical ones, built on readStream/writeStream with watermarks:
+
+- ``stream_crawl_monitor``: tail a crawl's results table as it is
+  appended wave-by-wave and maintain per-(depth, status) counts —
+  the `crawl.go:151-156` progress telemetry as a streaming query.
+- ``stream_event_windows``: watermarked sliding-window aggregation
+  over an event stream (late-data-safe counters).
+
+Both accept a trigger/sink override; tests drive them with the
+memory sink + processAllAvailable for deterministic completion.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .engine import RESULT_FULL_SCHEMA
+
+__all__ = ["stream_crawl_monitor", "stream_event_windows"]
+
+
+def stream_crawl_monitor(spark: SparkSession, results_glob: str, query_name: str = "crawl_monitor"):
+    """Streaming per-(Depth, StatusCode) counters over an appended
+    results directory. Returns the StreamingQuery (memory sink)."""
+    stream = (
+        spark.readStream.schema(RESULT_FULL_SCHEMA)
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(results_glob)
+    )
+    agg = stream.groupBy("Depth", "StatusCode").agg(
+        F.count("*").alias("n"),
+        F.count(F.when(F.col("Status") == "Blocked by robots.txt", 1)).alias("blocked"),
+    )
+    return (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+
+
+def stream_event_windows(
+    spark: SparkSession,
+    events_path: str,
+    schema,
+    window: str = "1 hour",
+    slide: str = "30 minutes",
+    watermark: str = "2 hours",
+    query_name: str = "event_windows",
+):
+    """Watermarked sliding-window event counts (late rows beyond the
+    watermark are dropped — bounded state at 100 TB stream scale)."""
+    stream = spark.readStream.schema(schema).parquet(events_path)
+    # watermarks need session-TZ TIMESTAMP (parquet may carry NTZ)
+    stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    agg = (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window, slide), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            F.col("window.start").alias("w_start"),
+            F.col("window.end").alias("w_end"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+    return (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+
+
+def drain(query) -> DataFrame:
+    """Drive a file-source streaming query to completion (tests)."""
+    query.processAllAvailable()
+    spark = SparkSession.getActiveSession()
+    return spark.sql(f"SELECT * FROM {query.name}")

@@ -1,0 +1,129 @@
+"""Sitemap/list sources (A2/A3), schema export (A19), CLI surface,
+and the streaming taps."""
+
+import json
+import subprocess
+import sys
+
+import pytest
+
+from crawlspark import sitemap
+from crawlspark.schema import RESULT_SCHEMA, bigquery_json
+
+URLSET = """<?xml version="1.0" encoding="UTF-8"?>
+<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
+  <url><loc>http://site-0.test/</loc></url>
+  <url><loc>http://site-0.test/0</loc></url>
+</urlset>"""
+
+INDEX = """<?xml version="1.0" encoding="UTF-8"?>
+<sitemapindex xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
+  <sitemap><loc>http://site-0.test/sitemap-a.xml</loc></sitemap>
+  <sitemap><loc>http://site-0.test/sitemap-b.xml</loc></sitemap>
+</sitemapindex>"""
+
+
+def test_parse_urlset():
+    # sitemap_test.go:12-29 analog
+    assert sitemap.parse(URLSET) == ["http://site-0.test/", "http://site-0.test/0"]
+
+
+def test_parse_index():
+    assert sitemap.parse_index(INDEX) == [
+        "http://site-0.test/sitemap-a.xml",
+        "http://site-0.test/sitemap-b.xml",
+    ]
+
+
+def test_invalid_data_raises():
+    # sitemap_test.go:60-72 analog
+    with pytest.raises(Exception):
+        sitemap.parse("this is not xml <<<")
+
+
+def test_fetch_all_recursive_with_cycle_guard():
+    docs = {
+        "http://s.test/sitemap.xml": INDEX.replace("site-0.test/sitemap-a.xml", "s.test/a.xml")
+        .replace("site-0.test/sitemap-b.xml", "s.test/b.xml"),
+        "http://s.test/a.xml": URLSET,
+        # b.xml points back at the index — must not loop
+        "http://s.test/b.xml": INDEX.replace("site-0.test/sitemap-a.xml", "s.test/sitemap.xml")
+        .replace("site-0.test/sitemap-b.xml", "s.test/a.xml"),
+    }
+    urls = sitemap.fetch_all("http://s.test/sitemap.xml", lambda u: docs.get(u))
+    assert urls == ["http://site-0.test/", "http://site-0.test/0"]
+
+
+def test_list_from_text():
+    assert sitemap.list_from_text("http://a/\n\n  http://b/x \n") == ["http://a/", "http://b/x"]
+
+
+def test_bigquery_schema_export():
+    """A19: same shape as /root/reference/schema.json — Depth the only
+    REQUIRED field, nested RECORDs, REPEATED Links/Hreflang/Header."""
+    fields = json.loads(bigquery_json(RESULT_SCHEMA))
+    by_name = {f["name"]: f for f in fields}
+    assert by_name["Depth"] == {"name": "Depth", "type": "INTEGER", "mode": "REQUIRED"}
+    assert by_name["Address"]["type"] == "RECORD"
+    assert by_name["Links"]["mode"] == "REPEATED"
+    assert {sf["name"] for sf in by_name["Address"]["fields"]} == {
+        "Full", "Scheme", "Opaque", "Host", "Path", "Query",
+    }
+    # golden cross-check against the reference's generated schema
+    with open("/root/reference/schema.json") as f:
+        ref = json.loads(f.read())
+    ref_names = [f["name"] for f in ref]
+    ours = [f["name"] for f in fields]
+    assert ours == ref_names
+    ref_modes = {f["name"]: f["mode"] for f in ref}
+    assert all(by_name[n]["mode"] == m for n, m in ref_modes.items())
+
+
+def test_cli_schema_subcommand():
+    out = subprocess.run(
+        [sys.executable, "-m", "crawlspark.cli", "schema"],
+        capture_output=True, text=True, cwd="/root/repo", timeout=60,
+    )
+    assert out.returncode == 0
+    assert json.loads(out.stdout)[1]["name"] == "Depth"
+
+
+def test_streaming_event_windows(spark, tmp_path):
+    from crawlspark import streaming
+
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    path = str(tmp_path / "events")
+    events.write.parquet(path)
+    q = streaming.stream_event_windows(spark, path, events.schema, query_name="ew_test")
+    try:
+        out = streaming.drain(q)
+        rows = out.collect()
+        assert len(rows) > 0
+        total = sum(r["n"] for r in rows)
+        # sliding window (2 panes per event at 1h/30m) -> 2x row coverage
+        assert total == 2 * events.count()
+    finally:
+        q.stop()
+
+
+def test_streaming_crawl_monitor(spark, tmp_path):
+    from crawlspark import streaming, testkit
+    from crawlspark.config import CrawlConfig
+    from crawlspark.engine import SparkCrawler
+
+    pages, robots, seeds = testkit.nice_site(branching=2, max_id_len=2)
+    c = SparkCrawler(
+        spark, CrawlConfig(From=seeds, MaxDepth=1),
+        testkit.pages_to_spark(spark, pages), testkit.robots_to_spark(spark, robots),
+        workdir=str(tmp_path / "crawl"),
+    )
+    c.run()
+    q = streaming.stream_crawl_monitor(
+        spark, str(tmp_path / "crawl" / "results" / "wave=*"), query_name="cm_test"
+    )
+    try:
+        out = streaming.drain(q)
+        by_depth = {r["Depth"]: r["n"] for r in out.collect()}
+        assert by_depth[0] == 1 and by_depth[1] == 2
+    finally:
+        q.stop()
