@@ -70,6 +70,7 @@ def bench_crawl(spark) -> tuple[float, dict]:
         MaxDepth=DEPTH,
         RespectNofollow=False,
         shuffle_partitions=max(int(CPUS), 8),
+        detailed_metrics=False,
     )
     crawler = SparkCrawler(
         spark, cfg, pages_df, robots_df,

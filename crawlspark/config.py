@@ -65,6 +65,7 @@ class CrawlConfig:
     per_host_budget: int | None = None  # max fetches per host per wave (None = unlimited)
     hot_host_salt_threshold: int = 10_000  # rows/host above which to salt-split
     pacing_enabled: bool = False  # real sleeps in the fetch stage (off in tests)
+    detailed_metrics: bool = True  # per-wave candidate counts (extra job; bench turns off)
 
     @classmethod
     def from_json(cls, text: str) -> "CrawlConfig":

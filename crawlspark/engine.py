@@ -61,25 +61,18 @@ _PARTS_FIELDS = [
 ]
 
 
-def _url_parts_map(schema_in: T.StructType):
-    """mapInPandas stage adding scheme/host/fetch_key (one parse per
-    row, Arrow-batched)."""
-    out_schema = T.StructType(schema_in.fields + _PARTS_FIELDS)
-
-    def fn(batches):
-        for pdf in batches:
-            schemes, hosts, fkeys = [], [], []
-            for u in pdf["url_key"]:
-                p = canon.parse_url(u)
-                if p is None:
-                    schemes.append(None); hosts.append(None); fkeys.append(None)
-                else:
-                    schemes.append(p.scheme)
-                    hosts.append(p.host)
-                    fkeys.append(canon.serialize(p, with_fragment=False))
-            yield pdf.assign(scheme=schemes, host=hosts, fetch_key=fkeys)
-
-    return fn, out_schema
+def _with_url_parts(df: DataFrame) -> DataFrame:
+    """scheme/host/fetch_key as pure column expressions. Frontier keys
+    are ALWAYS outputs of canon (seeds via canon_seed, links via
+    make_address serialization), i.e. already in normalized
+    `scheme://host/path[?q][#f]` form — so regexp extraction here is
+    exact, stays inside WholeStageCodegen, and costs no Python stage."""
+    u = F.col("url_key")
+    return (
+        df.withColumn("scheme", F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.\-]*):", 1))
+        .withColumn("host", F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]*)", 1))
+        .withColumn("fetch_key", F.regexp_replace(u, r"#.*$", ""))
+    )
 
 
 def _robots_allowed_udf(robots_user_agent: str):
@@ -375,13 +368,10 @@ class SparkCrawler:
 
     def _run_wave(self, frontier: DataFrame, d: int, frontier_rows: int | None = None) -> dict:
         cfg, store, spark = self.cfg, self.store, self.spark
-        fn, parts_schema = _url_parts_map(frontier.schema)
-        parts = frontier.mapInPandas(fn, parts_schema)
+        parts = _with_url_parts(frontier)
         # robots.Locate parse failure (no host/scheme, e.g. mailto:)
         # -> URL skipped silently, no result row (state.go:57-61 FIXME path)
-        parts = parts.filter(
-            F.col("host").isNotNull() & (F.col("host") != "") & (F.col("scheme") != "")
-        )
+        parts = parts.filter((F.col("host") != "") & (F.col("scheme") != ""))
         gated = parts.join(
             F.broadcast(self.robots),
             (parts["scheme"] == F.col("r_scheme")) & (parts["host"] == F.col("r_host")),
@@ -421,8 +411,12 @@ class SparkCrawler:
         result_files = [f for s in parsed_slices for f in s["files"]]
         wave_results = spark.read.parquet(*result_files)
         staged_rows = sum(s["rows"] for s in parsed_slices)
-        blocked_n = (
-            wave_results.filter(F.col("Status") == "Blocked by robots.txt").count()
+        # metrics-only count via parquet scan on the driver — no Spark job
+        # (at cluster scale this becomes an accumulator)
+        import pyarrow.dataset as pads
+
+        blocked_n = pads.dataset(result_files).count_rows(
+            filter=pads.field("Status") == "Blocked by robots.txt"
         )
 
         metrics = {
@@ -434,8 +428,10 @@ class SparkCrawler:
             "enqueued": 0,
         }
         if d < cfg.MaxDepth:
-            cand = self._candidates(wave_results).persist()
-            metrics["candidates"] = cand.count()
+            cand = self._candidates(wave_results)
+            if cfg.detailed_metrics:
+                cand = cand.persist()
+                metrics["candidates"] = cand.count()
             # all seen slices committed so far: manifests -1 .. d-1
             seen = store.read("seen", up_to=d - 1)
             bits = self._latest_bloom() if cfg.bloom_prefilter else None
@@ -450,7 +446,8 @@ class SparkCrawler:
             # small post-shuffle partitions so tiny waves write few files
             nxt = nxt.repartition("url_key")
             info = store.stage("frontier", nxt, d + 1, manifest_wave=d)
-            cand.unpersist()
+            if cfg.detailed_metrics:
+                cand.unpersist()
             store.stage(
                 "seen",
                 spark.read.parquet(*info["files"]).select("url_key").withColumn("wave", F.lit(d + 1)),

@@ -69,17 +69,36 @@ def minhash_signatures(docs: DataFrame, n_perm: int = 16, shingle_words: int = 2
     md5(s || ':' || i); the min over shingles of the 32-hex string is
     the signature component (lexicographic min of fixed-width hex ==
     numeric min). Pure column expressions -> no shuffle."""
-    sh = F.array_distinct(_shingles(shingle_words))
-
-    def perm_min(i: int):
-        # NB: single-arg lambda — a two-arg transform lambda would
-        # receive (element, array_index) and shadow the perm index
-        return F.array_min(
-            F.transform(sh, lambda s: _md5(F.concat_ws(":", s, F.lit(str(i)))))
-        )
-
-    sig = F.array(*[perm_min(i) for i in range(n_perm)])
-    return docs.select("doc_id", sig.alias("sig"))
+    # Relational shape instead of one giant nested expression: explode
+    # shingles to rows, fan out the permutations, min per (doc, perm)
+    # (map-side partial agg collapses before the shuffle), then gather
+    # the signature array. Linear work, no Catalyst expression blowup —
+    # and exactly how it distributes at 10^9 docs.
+    grams = docs.select(
+        "doc_id", F.explode(F.array_distinct(_shingles(shingle_words))).alias("g")
+    )
+    hashed = grams.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("perm"),
+                        _md5(F.concat_ws(":", F.col("g"), F.lit(str(i)))).alias("h"),
+                    )
+                    for i in range(n_perm)
+                ]
+            )
+        ).alias("ph"),
+    )
+    mins = hashed.groupBy("doc_id", F.col("ph.perm").alias("perm")).agg(
+        F.min("ph.h").alias("h")
+    )
+    return mins.groupBy("doc_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("perm", "h"))), lambda s: s["h"]
+        ).alias("sig")
+    )
 
 
 def minhash_lsh_pairs(
