@@ -190,10 +190,10 @@ def test_resume_mid_crawl(spark, tmp_path):
     )
     orig = part._run_wave
 
-    def boom(frontier, d):
+    def boom(frontier, d, *args, **kwargs):
         if d >= 2:
             raise Interrupted()
-        return orig(frontier, d)
+        return orig(frontier, d, *args, **kwargs)
 
     part._run_wave = boom
     with pytest.raises(Interrupted):
