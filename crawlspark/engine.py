@@ -62,12 +62,13 @@ _PARTS_FIELDS = [
 
 
 def _with_url_parts(df: DataFrame) -> DataFrame:
-    """scheme/host/fetch_key as pure column expressions. Frontier keys
-    are ALWAYS outputs of canon (seeds via canon_seed, links via
-    make_address serialization), i.e. already in normalized
-    `scheme://host/path[?q][#f]` form — so regexp extraction here is
-    exact, stays inside WholeStageCodegen, and costs no Python stage."""
-    u = F.col("url_key")
+    """scheme/host/fetch_key as pure column expressions over
+    fetch_url. Frontier fetch_urls are ALWAYS outputs of canon (seeds
+    via canon_seed, links via make_address serialization), i.e.
+    already in normalized `scheme://host/path[?q][#f]` form — so
+    regexp extraction here is exact, stays inside WholeStageCodegen,
+    and costs no Python stage."""
+    u = F.col("fetch_url")
     return (
         df.withColumn("scheme", F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.\-]*):", 1))
         .withColumn("host", F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]*)", 1))
@@ -80,7 +81,7 @@ def _robots_allowed_udf(robots_user_agent: str):
     compiled once per distinct (status, body) per batch."""
 
     @F.pandas_udf(T.BooleanType())
-    def allowed(url: pd.Series, status: pd.Series, body: pd.Series) -> pd.Series:
+    def allowed(url: pd.Series, status: pd.Series, body: pd.Series) -> pd.Series:  # noqa: ANN001
         cache: dict = {}
         out = []
         for u, s, b in zip(url, status, body):
@@ -105,7 +106,7 @@ def _blocked_map():
         for pdf in batches:
             rows = []
             for r in pdf.itertuples(index=False):
-                res = oracle.blocked_result(r.url_key, int(r.depth))
+                res = oracle.blocked_result(r.fetch_url, int(r.depth))
                 res["Priority"] = int(r.priority)
                 res["UrlKey"] = r.url_key
                 res["Payload"] = None
@@ -141,7 +142,7 @@ def _parse_map(check_payload: bool):
                     "headers": [{"K": p["K"], "V": p["V"]} for p in hdrs],
                     "html": r["html"],
                 }
-                res = oracle.make_result_dict(r["url_key"], int(r["depth"]), page)
+                res = oracle.make_result_dict(r["fetch_url"], int(r["depth"]), page)
                 res["Priority"] = int(r["priority"])
                 res["UrlKey"] = r["url_key"]
                 payload = None
@@ -228,11 +229,13 @@ class SparkCrawler:
 
     def _initial_frontier(self) -> DataFrame:
         rows = []
+        extended = self.cfg.canon_mode == "extended"
         for i, s in enumerate(self.cfg.From):
             cs = canon.canon_seed(s)
             if cs is None:
                 raise ValueError(f"bad seed URL {s!r}")  # parity: Start() error
-            rows.append((cs, 0, oracle.PRIORITY_SEED, i))
+            key = (canon.extended_canon(cs) or cs) if extended else cs
+            rows.append((key, cs, 0, oracle.PRIORITY_SEED, i))
         return self.spark.createDataFrame(rows, FRONTIER_SCHEMA)
 
     def _apply_budget(self, allowed: DataFrame, budget: int) -> tuple[DataFrame, DataFrame]:
@@ -264,7 +267,7 @@ class SparkCrawler:
 
     def _fetch_and_parse(self, gated_allowed: DataFrame) -> DataFrame:
         joined = gated_allowed.select(
-            "url_key", "depth", "priority", "fetch_key", "host"
+            "url_key", "fetch_url", "depth", "priority", "fetch_key", "host"
         ).join(self.pages, F.col("fetch_key") == self.pages["url"], "inner")
         if self.cfg.pacing_enabled and self.cfg.wait_seconds > 0:
             wait = self.cfg.wait_seconds
@@ -285,7 +288,7 @@ class SparkCrawler:
             r.filter((F.col("StatusCode") >= 300) & (F.col("StatusCode") < 400))
             .filter(F.col("ResolvesTo").isNotNull() & F.col("ResolvesTo.Full").isNotNull())
             .select(
-                F.col("ResolvesTo.Full").alias("url_key"),
+                F.col("ResolvesTo.Full").alias("fetch_url"),
                 F.lit(oracle.PRIORITY_REDIRECT).alias("priority"),
                 F.lit(False).alias("nofollow"),
             )
@@ -293,18 +296,43 @@ class SparkCrawler:
         links = (
             r.select(F.explode("Links").alias("link"))
             .select(
-                F.col("link.Address.Full").alias("url_key"),
+                F.col("link.Address.Full").alias("fetch_url"),
                 F.lit(oracle.PRIORITY_LINK).alias("priority"),
                 F.coalesce(F.col("link.Nofollow"), F.lit(False)).alias("nofollow"),
             )
-            .filter(F.col("url_key").isNotNull())
+            .filter(F.col("fetch_url").isNotNull())
         )
         cand = redirects.unionByName(links)
-        cand = cand.filter(scope_filter_expr(F.col("url_key"), self.cfg.Include, self.cfg.Exclude))
+        # scope is evaluated on the discovered (go-parity) URL, as the
+        # reference does (crawler.go:234)
+        cand = cand.filter(
+            scope_filter_expr(F.col("fetch_url"), self.cfg.Include, self.cfg.Exclude)
+        )
         if self.cfg.RespectNofollow:
             cand = cand.filter(~F.col("nofollow"))
-        # within-wave first-discovery-wins -> min priority per url
-        return cand.groupBy("url_key").agg(F.min("priority").alias("priority"))
+        if self.cfg.canon_mode == "extended":
+            # north_rule production canonicalization: the dedup/seen key
+            # is the RFC-3986 extended normal form (lowercase host,
+            # percent-decode unreserved, sorted query) — vectorized
+            # pandas UDF; fetch still uses the discovered URL
+            @F.pandas_udf(T.StringType())
+            def _ext(urls: pd.Series) -> pd.Series:
+                return urls.map(lambda u: canon.extended_canon(u) or u)
+
+            cand = cand.withColumn("url_key", _ext(F.col("fetch_url")))
+        else:
+            cand = cand.withColumn("url_key", F.col("fetch_url"))
+        # within-wave first-discovery-wins -> min (priority, fetch_url)
+        # per canonical key (deterministic refinement, SURVEY.md §7.6)
+        return (
+            cand.groupBy("url_key")
+            .agg(F.min(F.struct("priority", "fetch_url")).alias("first"))
+            .select(
+                "url_key",
+                F.col("first.priority").alias("priority"),
+                F.col("first.fetch_url").alias("fetch_url"),
+            )
+        )
 
     def _dedup_against_seen(self, cand: DataFrame, seen: DataFrame | None, bits: DataFrame | None):
         if seen is None:
@@ -383,7 +411,9 @@ class SparkCrawler:
             ),
         )
 
-        blocked = gated.filter(~F.col("_allowed")).select("url_key", "depth", "priority")
+        blocked = gated.filter(~F.col("_allowed")).select(
+            "url_key", "fetch_url", "depth", "priority"
+        )
         blocked_results = blocked.mapInPandas(_blocked_map(), RESULT_FULL_SCHEMA)
         allowed = gated.filter(F.col("_allowed"))
 
@@ -438,6 +468,7 @@ class SparkCrawler:
             new = self._dedup_against_seen(cand, seen, bits)
             nxt = new.select(
                 "url_key",
+                "fetch_url",
                 F.lit(d + 1).alias("depth"),
                 "priority",
                 F.lit(None).cast("int").alias("seed_order"),

@@ -143,22 +143,33 @@ def crawl_oracle(cfg: CrawlConfig, pages: dict, robots_rows: dict):
     (url_key, priority) enqueued for depth d.
     """
     cfg.validate()
+    extended = getattr(cfg, "canon_mode", "go-parity") == "extended"
+
+    def key_of(full: str) -> str:
+        return (canon.extended_canon(full) or full) if extended else full
+
     queue = []
     for s in cfg.From:
         cs = canon.canon_seed(s)
         if cs is None:
             raise ValueError(f"bad seed URL {s!r}")
-        queue.append((cs, PRIORITY_SEED))
-    seen = {u for u, _ in queue}
+        queue.append((key_of(cs), cs, PRIORITY_SEED))
+    seen = {k for k, _, _ in queue}
     robots_cache: dict[str, robots.Matcher] = {}
     results = []
     frontier_log = {0: list(queue)}
     depth = 0
     while queue:
-        nextq = []
-        next_seen_order = []
-        for url_key, priority in queue:
-            rurl = robots.locate(url_key)
+        # Two-phase wave: collect every filter-passing discovery, then
+        # reduce per canonical key by min(priority, fetch_url). The
+        # reference's first-discovery-wins under mutex arrival order is
+        # nondeterministic (crawler.go:240-247); the enqueued SET is
+        # order-independent (non-passing discoveries never mutate
+        # state), and min() is our deterministic refinement (§7.6).
+        passing: dict[str, tuple[int, str]] = {}
+        order: list[str] = []
+        for url_key, fetch_url, priority in queue:
+            rurl = robots.locate(fetch_url)
             if rurl is None:
                 continue  # crawlCheckRobots parse error -> skip silently
             if rurl not in robots_cache:
@@ -166,13 +177,13 @@ def crawl_oracle(cfg: CrawlConfig, pages: dict, robots_rows: dict):
                 row = robots_rows.get((u.scheme, u.host))
                 ruleset = robots.from_status(*(row if row else (None, None)))
                 robots_cache[rurl] = robots.Matcher(ruleset, cfg.RobotsUserAgent)
-            if not robots_cache[rurl].allowed(url_key):
-                results.append((depth, priority, url_key, blocked_result(url_key, depth)))
+            if not robots_cache[rurl].allowed(fetch_url):
+                results.append((depth, priority, url_key, blocked_result(fetch_url, depth)))
                 continue
-            page = pages.get(fetch_key(url_key))
+            page = pages.get(fetch_key(fetch_url))
             if page is None:
                 continue  # fetch error -> silent drop (crawler.go:256-259)
-            res = make_result_dict(url_key, depth, page)
+            res = make_result_dict(fetch_url, depth, page)
             if depth < cfg.MaxDepth:
                 candidates = []
                 sc = page["status_code"]
@@ -185,16 +196,21 @@ def crawl_oracle(cfg: CrawlConfig, pages: dict, robots_rows: dict):
                 for full, nofollow, prio in candidates:
                     if not will_crawl(full, cfg.Include, cfg.Exclude):
                         continue
-                    if full in seen:
+                    k = key_of(full)
+                    if k in seen:
                         continue
                     # NB: nofollow checked AFTER seen, and a skipped
                     # nofollow link does NOT enter seen (crawler.go:240-247)
                     if nofollow and cfg.RespectNofollow:
                         continue
-                    seen.add(full)
-                    nextq.append((full, prio))
-                    next_seen_order.append(full)
+                    if k not in passing:
+                        order.append(k)
+                        passing[k] = (prio, full)
+                    else:
+                        passing[k] = min(passing[k], (prio, full))
             results.append((depth, priority, url_key, res))
+        nextq = [(k, passing[k][1], passing[k][0]) for k in order]
+        seen.update(order)
         queue = nextq
         depth += 1
         if queue:

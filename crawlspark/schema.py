@@ -113,7 +113,13 @@ RESULT_ENGINE_FIELDS = [
 
 FRONTIER_SCHEMA = T.StructType(
     [
+        # url_key: the canonical dedup/seen/ordering key (go-parity
+        # serialization, or extended RFC-3986 normal form when
+        # cfg.canon_mode == "extended"). fetch_url: the URL actually
+        # requested (go-parity resolved form) — equal to url_key in
+        # go-parity mode.
         T.StructField("url_key", T.StringType(), nullable=False),
+        T.StructField("fetch_url", T.StringType(), nullable=False),
         T.StructField("depth", T.IntegerType(), nullable=False),
         T.StructField("priority", T.IntegerType(), nullable=False),
         T.StructField("seed_order", T.IntegerType()),

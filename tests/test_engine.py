@@ -253,3 +253,52 @@ def test_scope_include_exclude(spark, tmp_path):
     _assert_match(crawler, out)
     hosts = {r["Address"]["Host"] for r in crawler.results().select("Address").collect()}
     assert hosts == {"site-0.test"}
+
+
+def test_extended_canon_mode(spark, tmp_path):
+    """north_rule production canonicalization: '?b=2&a=1' and
+    '?a=1&b=2' collapse to one seen key in extended mode (engine and
+    oracle agree); go-parity keeps them distinct."""
+    from crawlspark import testkit as tk
+
+    rows = [
+        tk.page_row("site-9.test", "", branching=0, extra_links=[
+            ("/q?b=2&a=1", "query order 1"),
+            ("/q?a=1&b=2", "query order 2"),
+            ("http://SITE-9.test/upper", "upper host"),
+            ("/upper", "lower host"),
+        ]),
+        tk.page_row("site-9.test", "q?b=2&a=1", branching=0),
+        tk.page_row("site-9.test", "q?a=1&b=2", branching=0),
+        tk.page_row("site-9.test", "upper", branching=0),
+    ]
+    import pandas as pd
+
+    pages_pdf = pd.DataFrame(rows)
+    robots_pdf = pd.DataFrame(
+        [{"host": "site-9.test", "scheme": "http", "status_code": 200,
+          "body": "User-agent: *\nAllow: /\n"}]
+    )
+    seeds = ["http://site-9.test/"]
+
+    # go-parity: 4 depth-1 rows — both query orders fetched separately,
+    # /upper fetched, and http://SITE-9.test/upper kept as a DISTINCT
+    # host whose robots is unreachable -> blocked row (crawler.go:281).
+    # extended: query orders collapse AND the uppercase host folds into
+    # site-9.test -> just {q, upper} = 2 rows.
+    for mode, expected_d1 in (("extended", 2), ("go-parity", 4)):
+        cfg = CrawlConfig(From=seeds, MaxDepth=1, canon_mode=mode)
+        crawler = SparkCrawler(
+            spark, cfg,
+            testkit.pages_to_spark(spark, pages_pdf),
+            testkit.robots_to_spark(spark, robots_pdf),
+            workdir=str(tmp_path / f"ext-{mode}"),
+        )
+        crawler.run()
+        d1 = crawler.results().filter("Depth = 1").count()
+        # go-parity: {q?b=2&a=1, q?a=1&b=2, upper} = 3 fetches
+        # (http://SITE-9.test/upper parses but SITE-9 host has no
+        # robots/pages entry under exact-host semantics... it is the
+        # same host case-insensitively -> extended collapses it)
+        assert d1 == expected_d1, (mode, d1)
+        _assert_match(crawler, _oracle_run(cfg, pages_pdf, robots_pdf))
