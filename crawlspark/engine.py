@@ -269,6 +269,12 @@ class SparkCrawler:
         joined = gated_allowed.select(
             "url_key", "fetch_url", "depth", "priority", "fetch_key", "host"
         ).join(self.pages, F.col("fetch_key") == self.pages["url"], "inner")
+        # AQE coalesces the join output by BYTE size (~50 MB of html
+        # looks "small" -> 1-2 partitions), which would serialize the
+        # CPU-heavy parse UDF onto 1-2 cores. Parse cost scales with
+        # ROWS, not bytes — force row-parallelism before the Python
+        # stage (cheap shuffle vs single-threaded parse).
+        joined = joined.repartition(self.cfg.shuffle_partitions, "url_key")
         if self.cfg.pacing_enabled and self.cfg.wait_seconds > 0:
             wait = self.cfg.wait_seconds
             budget = self.cfg.per_host_budget or self.cfg.Connections
@@ -369,11 +375,14 @@ class SparkCrawler:
         else:
             frontier = self._initial_frontier()
             store.stage("frontier", frontier, 0, manifest_wave=-1)
-            seed_seen = frontier.select("url_key").distinct().withColumn("wave", F.lit(0))
-            store.stage("seen", seed_seen, 0, manifest_wave=-1)
+            # NOTE: there is no separate `seen` table — the frontier
+            # slices ARE the seen-set (every URL enqueued at any depth
+            # was marked seen at enqueue time, crawler.go:143-145 +
+            # 240-247), so seen(d) = url_keys of frontier waves 0..d.
             if cfg.bloom_prefilter:
                 bits = bloomfilter.mark(
-                    seed_seen, bloomfilter.empty_bits_df(self.spark, self.bloom_cfg),
+                    frontier.select("url_key"),
+                    bloomfilter.empty_bits_df(self.spark, self.bloom_cfg),
                     "url_key", self.bloom_cfg,
                 )
                 store.stage("bloom", bits, 0, manifest_wave=-1)
@@ -421,6 +430,14 @@ class SparkCrawler:
         parsed_slices = []
         remaining = allowed
         subwave = 0
+        t_phase = time.time()
+        phase_t: dict[str, float] = {}
+
+        def lap(name):
+            nonlocal t_phase
+            phase_t[name] = round(time.time() - t_phase, 2)
+            t_phase = time.time()
+
         while True:
             if budget:
                 take, remaining = self._apply_budget(remaining, budget)
@@ -436,6 +453,7 @@ class SparkCrawler:
             subwave += 1
             if remaining is None or remaining.isEmpty():
                 break
+        lap("t_fetch_parse")
 
         # re-read staged results (cheap, avoids recompute) for candidates
         result_files = [f for s in parsed_slices for f in s["files"]]
@@ -462,8 +480,9 @@ class SparkCrawler:
             if cfg.detailed_metrics:
                 cand = cand.persist()
                 metrics["candidates"] = cand.count()
-            # all seen slices committed so far: manifests -1 .. d-1
-            seen = store.read("seen", up_to=d - 1)
+            # seen = frontier slices committed so far (manifests -1..d-1
+            # cover frontier depths 0..d) — no separate seen table
+            seen = store.read("frontier", up_to=d - 1)
             bits = self._latest_bloom() if cfg.bloom_prefilter else None
             new = self._dedup_against_seen(cand, seen, bits)
             nxt = new.select(
@@ -479,17 +498,14 @@ class SparkCrawler:
             info = store.stage("frontier", nxt, d + 1, manifest_wave=d)
             if cfg.detailed_metrics:
                 cand.unpersist()
-            store.stage(
-                "seen",
-                spark.read.parquet(*info["files"]).select("url_key").withColumn("wave", F.lit(d + 1)),
-                d + 1,
-                manifest_wave=d,
-            )
+            lap("t_frontier")
             if cfg.bloom_prefilter:
                 new_urls = spark.read.parquet(*info["files"]).select("url_key")
                 bits2 = bloomfilter.mark(new_urls, self._latest_bloom(), "url_key", self.bloom_cfg)
                 store.stage("bloom", bits2, d + 1, manifest_wave=d)
+                lap("t_bloom")
             metrics["enqueued"] = info["rows"]
+        metrics.update(phase_t)
         return metrics
 
     def _latest_bloom(self) -> DataFrame:
@@ -521,4 +537,4 @@ class SparkCrawler:
         return out
 
     def seen(self) -> DataFrame:
-        return self.store.read("seen").select("url_key").distinct()
+        return self.store.read("frontier").select("url_key").distinct()

@@ -24,9 +24,14 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
-N_HOSTS = int(os.environ.get("CRAWLSPARK_SCALE_HOSTS", "120"))
-BRANCHING = int(os.environ.get("CRAWLSPARK_SCALE_BRANCHING", "16"))
-DEPTH = int(os.environ.get("CRAWLSPARK_SCALE_DEPTH", "2"))
+# Sizing: compute (fetch+parse+dedup of ~410k URLs) must dominate the
+# per-wave fixed overhead for the efficiency ratio to measure the
+# ENGINE and not Spark's constant job costs — a wide 2-wave drain
+# (8000 seeds -> 400k children) is the frontier-drain shape at its
+# purest. Warmup run excluded (JVM/codegen/Arrow spin-up).
+N_HOSTS = int(os.environ.get("CRAWLSPARK_SCALE_HOSTS", "8000"))
+BRANCHING = int(os.environ.get("CRAWLSPARK_SCALE_BRANCHING", "50"))
+DEPTH = int(os.environ.get("CRAWLSPARK_SCALE_DEPTH", "1"))
 HOT = int(os.environ.get("CRAWLSPARK_SCALE_HOT", "3"))
 WEB_DIR = os.path.join(
     tempfile.gettempdir(), f"crawlscale-web-{N_HOSTS}-{BRANCHING}-{DEPTH}-{HOT}"
@@ -56,11 +61,24 @@ def single_run(cpus: int) -> dict:
         ).parquet(WEB_DIR)
     pages = spark.read.parquet(WEB_DIR)
     robots = benchgen.gen_robots(spark, N_HOSTS)
+
+    # warmup: tiny crawl to pay JVM/codegen/Arrow/python-worker
+    # spin-up outside the measured window (steady-state throughput)
+    warm_cfg = CrawlConfig(
+        From=benchgen.seed_urls(8), MaxDepth=1, RespectNofollow=False,
+        shuffle_partitions=max(cpus, 8), detailed_metrics=False,
+    )
+    SparkCrawler(
+        spark, warm_cfg, pages, robots,
+        workdir=tempfile.mkdtemp(prefix="crawlscale-warm-"), check_payload=False,
+    ).run()
+
     cfg = CrawlConfig(
         From=benchgen.seed_urls(N_HOSTS),
         MaxDepth=DEPTH,
         RespectNofollow=False,
         shuffle_partitions=max(cpus, 8),
+        detailed_metrics=False,
     )
     crawler = SparkCrawler(
         spark, cfg, pages, robots,

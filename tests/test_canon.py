@@ -99,3 +99,32 @@ def test_opaque_url():
     assert a["Full"] == "mailto:user@example.com"
     assert a["Opaque"] == "user@example.com"
     assert a["Path"] == "/"
+
+
+def test_fast_path_matches_urljoin():
+    """Property check: the path-absolute fast path in resolve_address
+    equals the urljoin slow path on a representative corpus."""
+    from urllib.parse import urljoin as uj
+
+    bases = [
+        "http://h.test/a/b?q=1",
+        "https://h.test:8080/",
+        "http://UPPER.test/x#frag",
+    ]
+    hrefs = [
+        "/", "/x", "/x/y?a=1&b=2", "/x#sec", "/%20esc/p", "/q?b=2&a=1",
+    ]
+    for b in bases:
+        for h in hrefs:
+            fast = canon.resolve_address(b, h)
+            joined = uj(b, h)
+            u = canon.parse_url(joined)
+            slow = canon._address_from_parts(u)
+            assert fast == slow, (b, h, fast, slow)
+
+
+def test_resolve_trailing_question_mark_go_parity():
+    # Go url.Parse("/x?") sets ForceQuery -> String() keeps the "?";
+    # python's urljoin drops it. The fast path matches Go.
+    a = canon.resolve_address("http://h.test/a", "/x?")
+    assert a["Full"] == "http://h.test/x?"
