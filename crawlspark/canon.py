@@ -78,16 +78,16 @@ class URLParts:
         self.fragment = fragment  # None = no "#" present
 
 
+_CTRL_RE = re.compile(r"[\x00-\x1f\x7f]")
+
+
 def _valid_escapes(s: str) -> bool:
-    i = 0
+    i = s.find("%")
     n = len(s)
-    while i < n:
-        if s[i] == "%":
-            if i + 2 >= n or s[i + 1] not in _HEX or s[i + 2] not in _HEX:
-                return False
-            i += 3
-        else:
-            i += 1
+    while i != -1:
+        if i + 2 >= n or s[i + 1] not in _HEX or s[i + 2] not in _HEX:
+            return False
+        i = s.find("%", i + 3)
     return True
 
 
@@ -97,9 +97,8 @@ def parse_url(raw: str) -> URLParts | None:
     characters. Returns None on error (Go returns err)."""
     if raw is None:
         return None
-    for ch in raw:
-        if ord(ch) < 0x20 or ch == "\x7f":
-            return None
+    if _CTRL_RE.search(raw):
+        return None
     u = URLParts()
     rest = raw
     # fragment
@@ -224,6 +223,28 @@ def _address_from_parts(u: URLParts) -> dict:
         "Path": u.raw_path if not u.opaque else _escape_path("/"),
         "Query": u.raw_query or "",
     }
+
+
+def make_resolver(base_full: str):
+    """Per-page resolver that parses the base ONCE and reuses it for
+    every link/canonical/hreflang on the page (50+ resolutions per
+    page in link-dense corpora — the hydration hot path)."""
+    bu = parse_url(base_full) if base_full is not None else None
+
+    def resolve(href: str) -> dict | None:
+        if bu is None or href is None:
+            return None
+        if href.startswith("/") and not href.startswith("//") and "/." not in href:
+            hu = parse_url(href)
+            if hu is None:
+                return None
+            if not bu.scheme or not bu.host:
+                return None
+            hu.scheme, hu.opaque, hu.host = bu.scheme, "", bu.host
+            return _address_from_parts(hu)
+        return resolve_address(base_full, href)
+
+    return resolve
 
 
 def resolve_address(base_full: str, href: str) -> dict | None:

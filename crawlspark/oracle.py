@@ -102,6 +102,7 @@ def make_result_dict(url_key: str, depth: int, page: dict) -> dict:
     }
     ct = page.get("content_type") or ""
     if ct.startswith("text/html") and page.get("html"):
+        resolve = canon.make_resolver(base_full)  # parse base once
         ex = htmlex.extract_html(page["html"])
         res["Title"] = ex["Title"]
         res["H1"] = ex["H1"]
@@ -109,16 +110,16 @@ def make_result_dict(url_key: str, depth: int, page: dict) -> dict:
         res["Robots"] = ex["Robots"]
         res["BodyTextHash"] = ex["BodyTextHash"]
         res["Canonical"] = {
-            "Address": canon.resolve_address(base_full, ex["CanonicalHref"]),
+            "Address": resolve(ex["CanonicalHref"]),
             "Href": ex["CanonicalHref"],
         }
         res["Hreflang"] = [
-            {"Address": canon.resolve_address(base_full, href), "Href": href, "Hreflang": lang}
+            {"Address": resolve(href), "Href": href, "Hreflang": lang}
             for href, lang in ex["Hreflang"]
         ] or None
         res["Links"] = [
             {
-                "Address": canon.resolve_address(base_full, href),
+                "Address": resolve(href),
                 "Anchor": anchor,
                 "Href": href,
                 "Nofollow": nofollow,
