@@ -189,6 +189,63 @@ def ngram_jaccard_pairs(
     )
 
 
+def dup_clusters(docs: DataFrame, n_perm: int = 16, bands: int = 4,
+                 shingle_words: int = 2, max_iters: int = 20) -> DataFrame:
+    """Connected components over the minhash-LSH candidate-pair graph:
+    each near-dup cluster labeled by its min doc_id (the canonical
+    'keep' doc). Iterative min-label propagation — one hash-join +
+    min-agg per round, O(diameter) rounds, the standard large-scale
+    CC shape (driver loop; each round persists and breaks lineage).
+    Deterministic fixpoint -> DuckDB-oracle-checkable via a recursive
+    CTE at test scale."""
+    pairs = minhash_lsh_pairs(docs, n_perm, bands, shingle_words).select("doc_a", "doc_b")
+    edges = pairs.unionByName(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).persist()
+    labels = (
+        edges.select(F.col("doc_a").alias("doc_id"))
+        .distinct()
+        .withColumn("label", F.col("doc_id"))
+        .persist()
+    )
+    for _ in range(max_iters):
+        neighbor_min = (
+            edges.join(labels, edges["doc_b"] == labels["doc_id"])
+            .groupBy(F.col("doc_a").alias("nid"))
+            .agg(F.min("label").alias("nlabel"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels["doc_id"] == F.col("nid"), "left")
+            .select(
+                "doc_id",
+                F.least(F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))).alias("label"),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    out = (
+        labels.groupBy(F.col("label").alias("cluster_id"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.concat_ws(",", F.array_sort(F.collect_set(F.col("doc_id").cast("string")))).alias(
+                "doc_ids"
+            ),
+        )
+        .orderBy("cluster_id")
+    )
+    return out
+
+
 def simhash(docs: DataFrame) -> DataFrame:
     """64-bit SimHash over word md5 hashes (vectorized numpy inside a
     pandas UDF; bit surgery isn't portable SQL -> rows-only check)."""
