@@ -79,6 +79,56 @@ def stream_event_windows(
     )
 
 
+def stateful_host_counter(
+    spark: SparkSession,
+    results_glob: str,
+    query_name: str = "host_counter",
+    max_files_per_trigger: int = 1,
+):
+    """Custom stateful operator (applyInPandasWithState): per-host
+    cumulative fetched/blocked counters carried across micro-batches —
+    the crawler's per-host politeness ledger as a streaming state
+    machine. One state row per host; emits the running totals each
+    batch the host appears in."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    stream = (
+        spark.readStream.schema(RESULT_FULL_SCHEMA)
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(results_glob)
+    )
+    keyed = stream.select(
+        F.coalesce(F.col("Address.Host"), F.lit("")).alias("host"),
+        (F.col("Status") == "Blocked by robots.txt").alias("blocked"),
+    ).groupBy("host")
+
+    out_schema = "host string, fetched long, blocked long, batches long"
+    state_schema = "fetched long, blocked long, batches long"
+
+    def update(key, pdfs, state):
+        fetched, blocked, batches = state.get if state.exists else (0, 0, 0)
+        for pdf in pdfs:
+            blocked += int(pdf["blocked"].sum())
+            fetched += int((~pdf["blocked"]).sum())
+        batches += 1
+        state.update((fetched, blocked, batches))
+        yield pd.DataFrame(
+            {"host": [key[0]], "fetched": [fetched], "blocked": [blocked], "batches": [batches]}
+        )
+
+    counted = keyed.applyInPandasWithState(
+        update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
+    return (
+        counted.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+
+
 def drain(query) -> DataFrame:
     """Drive a file-source streaming query to completion (tests)."""
     query.processAllAvailable()

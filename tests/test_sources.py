@@ -127,3 +127,68 @@ def test_streaming_crawl_monitor(spark, tmp_path):
         assert by_depth[0] == 1 and by_depth[1] == 2
     finally:
         q.stop()
+
+
+def test_stateful_host_counter(spark, tmp_path):
+    """applyInPandasWithState: per-host counters accumulate across
+    micro-batches (maxFilesPerTrigger=1 forces multiple batches)."""
+    from crawlspark import streaming, testkit
+    from crawlspark.config import CrawlConfig
+    from crawlspark.engine import SparkCrawler
+
+    pages, robots, seeds = testkit.matrix_site()
+    c = SparkCrawler(
+        spark, CrawlConfig(From=seeds, MaxDepth=2),
+        testkit.pages_to_spark(spark, pages), testkit.robots_to_spark(spark, robots),
+        workdir=str(tmp_path / "crawl"),
+    )
+    c.run()
+    q = streaming.stateful_host_counter(
+        spark, str(tmp_path / "crawl" / "results" / "wave=*"), query_name="hc_test"
+    )
+    try:
+        out = streaming.drain(q)
+        rows = {r["host"]: r for r in out.collect()}
+        res = c.results()
+        exp_fetch = {
+            r["host"]: r["n"]
+            for r in res.filter("Status != 'Blocked by robots.txt'")
+            .groupBy(res.Address.Host.alias("host")).count().withColumnRenamed("count", "n")
+            .collect()
+        }
+        for host, n in exp_fetch.items():
+            assert rows[host]["fetched"] == n, (host, rows[host], n)
+        blocked_total = sum(r["blocked"] for r in rows.values())
+        assert blocked_total == res.filter("Status = 'Blocked by robots.txt'").count()
+        # state really crossed micro-batches
+        assert any(r["batches"] > 1 for r in rows.values())
+    finally:
+        q.stop()
+
+
+def test_cli_spider_ndjson(tmp_path):
+    """CLI spider end-to-end: NDJSON rows with omitempty semantics,
+    depth-ascending order (crawl.go:138-160 surface)."""
+    import json as _json
+
+    cfgp = tmp_path / "config.json"
+    cfgp.write_text(_json.dumps({
+        "From": ["http://site-0.test/"], "MaxDepth": 1,
+        "RespectNofollow": True, "Connections": 4,
+    }))
+    out = subprocess.run(
+        [sys.executable, "-m", "crawlspark.cli", "spider", str(cfgp)],
+        capture_output=True, text=True, cwd="/root/repo", timeout=300,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    rows = [_json.loads(line) for line in out.stdout.splitlines() if line.startswith("{")]
+    assert len(rows) > 5
+    depths = [r["Depth"] for r in rows]
+    assert depths == sorted(depths)  # reference ordering guarantee
+    root = rows[0]
+    assert root["Address"]["Full"] == "http://site-0.test/"
+    assert "Links" in root and len(root["Links"]) > 0
+    # omitempty: blocked rows must drop null response fields
+    blocked = [r for r in rows if r.get("Status") == "Blocked by robots.txt"]
+    for b in blocked:
+        assert "StatusCode" not in b and "Header" not in b
