@@ -74,8 +74,16 @@ def _positions(h64: np.ndarray, n_hashes: int, m_bits: int) -> np.ndarray:
 
 
 def with_shard_cols(df: DataFrame, url_col: str, cfg: BloomConfig) -> DataFrame:
-    h = F.xxhash64(F.col(url_col))
-    return df.withColumn("_h64", h).withColumn("_shard", F.pmod(h, F.lit(cfg.n_shards)).cast("int"))
+    """Two independent JVM-side hashes per URL (north_rule: murmur3-
+    hashed URLs): F.hash IS Spark's Murmur3_x86_32; xxhash64 supplies
+    the second stream for double hashing. Shard id comes from the
+    murmur3 value so the shard layout is the murmur3 partitioning."""
+    h1 = F.hash(F.col(url_col)).cast("long")  # murmur3_x86_32
+    h2 = F.xxhash64(F.col(url_col))
+    return (
+        df.withColumn("_h64", (F.shiftleft(h1, 32)).bitwiseOR(h2.bitwiseAND(F.lit(0xFFFFFFFF))))
+        .withColumn("_shard", F.pmod(h1, F.lit(cfg.n_shards)).cast("int"))
+    )
 
 
 def probe(candidates: DataFrame, bits_df: DataFrame, url_col: str, cfg: BloomConfig) -> DataFrame:

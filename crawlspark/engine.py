@@ -366,12 +366,14 @@ class SparkCrawler:
     def run(self, resume: bool = False) -> SnapshotStore:
         cfg = self.cfg
         store = self.store
+        resume_parts = None
         if resume:
             last = store.last_complete_wave()
             if last is None:
                 return self.run(resume=False)
             store.truncate_after(last)
             d = last + 1
+            resume_parts = store.parts(d) or None
         else:
             frontier = self._initial_frontier()
             store.stage("frontier", frontier, 0, manifest_wave=-1)
@@ -397,13 +399,20 @@ class SparkCrawler:
                 break
             frontier = self.spark.read.parquet(*info["files"])
             t0 = time.time()
-            metrics = self._run_wave(frontier, d, info["rows"])
+            metrics = self._run_wave(frontier, d, info["rows"], resume_parts=resume_parts)
+            resume_parts = None
             metrics["seconds"] = round(time.time() - t0, 3)
             store.commit_wave(d, metrics)
             d += 1
         return store
 
-    def _run_wave(self, frontier: DataFrame, d: int, frontier_rows: int | None = None) -> dict:
+    def _run_wave(
+        self,
+        frontier: DataFrame,
+        d: int,
+        frontier_rows: int | None = None,
+        resume_parts: list | None = None,
+    ) -> dict:
         cfg, store, spark = self.cfg, self.store, self.spark
         parts = _with_url_parts(frontier)
         # robots.Locate parse failure (no host/scheme, e.g. mailto:)
@@ -438,6 +447,30 @@ class SparkCrawler:
             phase_t[name] = round(time.time() - t_phase, 2)
             t_phase = time.time()
 
+        if resume_parts:
+            # mid-wave resume: adopt the completed politeness subwaves
+            # and continue from the checkpointed pending frontier
+            last_part = resume_parts[-1]
+            store.restore_pending(d, last_part["tables"])
+            for k in range(len(resume_parts)):
+                key = "results" if k == 0 else f"results_sub{k}"
+                parsed_slices.append(last_part["tables"][key])
+            subwave = len(resume_parts)
+            pending = spark.read.parquet(
+                *last_part["tables"][f"pending_sub{subwave - 1}"]["files"]
+            )
+            # re-gate the pending rows (deterministic: they were all
+            # robots-allowed when deferred)
+            pparts = _with_url_parts(pending).filter(
+                (F.col("host") != "") & (F.col("scheme") != "")
+            )
+            remaining = pparts.join(
+                F.broadcast(self.robots),
+                (pparts["scheme"] == F.col("r_scheme")) & (pparts["host"] == F.col("r_host")),
+                "left",
+            ).withColumn("_allowed", F.lit(True))
+
+        frontier_cols = ["url_key", "fetch_url", "depth", "priority", "seed_order"]
         while True:
             if budget:
                 take, remaining = self._apply_budget(remaining, budget)
@@ -450,9 +483,14 @@ class SparkCrawler:
                 d,
             )
             parsed_slices.append(info)
-            subwave += 1
             if remaining is None or remaining.isEmpty():
+                subwave += 1
                 break
+            # mid-wave checkpoint: completed slices + the deferred
+            # frontier survive an interruption (north_star clause)
+            store.stage(f"pending_sub{subwave}", remaining.select(*frontier_cols), d)
+            store.commit_wave(d, {"phase": "partial", "subwave": subwave}, part=subwave)
+            subwave += 1
         lap("t_fetch_parse")
 
         # re-read staged results (cheap, avoids recompute) for candidates

@@ -82,27 +82,63 @@ class SnapshotStore:
         self._pending.setdefault(f"wave-{mw}", {})[table] = info
         return info
 
-    def commit_wave(self, wave: int, metrics: dict | None = None) -> str:
+    def commit_wave(self, wave: int, metrics: dict | None = None, part: int | None = None) -> str:
+        """Atomic manifest commit. With ``part`` set this is a MID-WAVE
+        checkpoint: it snapshots the tables staged so far for this wave
+        (without consuming them) so an interrupted wave can resume from
+        its last completed politeness subwave; the eventual full commit
+        supersedes and removes the part manifests."""
         key = f"wave-{wave}"
+        if part is not None:
+            tables = dict(self._pending.get(key, {}))
+            name = f"{key}.part{part}.json"
+        else:
+            tables = self._pending.pop(key, {})
+            name = f"{key}.json"
         manifest = {
             "wave": wave,
+            "part": part,
             "committed_at": time.time(),
-            "tables": self._pending.pop(key, {}),
+            "tables": tables,
             "metrics": metrics or {},
         }
-        tmp = os.path.join(self.manifest_dir, f".{key}.json.tmp")
-        final = os.path.join(self.manifest_dir, f"{key}.json")
+        tmp = os.path.join(self.manifest_dir, f".{name}.tmp")
+        final = os.path.join(self.manifest_dir, name)
         with open(tmp, "w") as f:
             json.dump(manifest, f, indent=1)
         os.replace(tmp, final)  # atomic commit
+        if part is None:
+            for p in self._part_files(wave):
+                os.remove(p)
         return final
+
+    def _part_files(self, wave: int) -> list[str]:
+        pre = f"wave-{wave}.part"
+        return sorted(
+            os.path.join(self.manifest_dir, n)
+            for n in os.listdir(self.manifest_dir)
+            if n.startswith(pre) and n.endswith(".json")
+        )
+
+    def restore_pending(self, wave: int, tables: dict) -> None:
+        """Re-register table slices from a part manifest so the wave's
+        eventual full commit includes them (resume path)."""
+        self._pending.setdefault(f"wave-{wave}", {}).update(tables)
+
+    def parts(self, wave: int) -> list[dict]:
+        """Mid-wave part manifests for ``wave``, ordered by part."""
+        out = []
+        for p in self._part_files(wave):
+            with open(p) as f:
+                out.append(json.load(f))
+        return sorted(out, key=lambda m: m["part"])
 
     # ---- read path ----
 
     def _manifests(self) -> list[dict]:
         out = []
         for name in sorted(os.listdir(self.manifest_dir)):
-            if name.startswith("wave-") and name.endswith(".json"):
+            if name.startswith("wave-") and name.endswith(".json") and ".part" not in name:
                 with open(os.path.join(self.manifest_dir, name)) as f:
                     out.append(json.load(f))
         return sorted(out, key=lambda m: m["wave"])
@@ -132,16 +168,24 @@ class SnapshotStore:
     # ---- resume path ----
 
     def truncate_after(self, wave: int) -> None:
-        """Drop uncommitted/partial wave data newer than `wave` —
-        called on resume after an interruption."""
+        """Drop uncommitted wave data newer than `wave` — called on
+        resume after an interruption. Part manifests of wave+1 (the
+        interrupted wave's mid-wave checkpoints) are KEPT so the wave
+        resumes from its last completed politeness subwave."""
         for name in list(os.listdir(self.manifest_dir)):
             if not (name.startswith("wave-") and name.endswith(".json")):
                 continue
-            w = int(name[len("wave-") : -len(".json")])
+            stem = name[len("wave-") : -len(".json")]
+            if ".part" in stem:
+                w = int(stem.split(".part")[0])
+                if w != wave + 1:
+                    os.remove(os.path.join(self.manifest_dir, name))
+                continue
+            w = int(stem)
             if w > wave:
                 os.remove(os.path.join(self.manifest_dir, name))
         kept = set()
-        for m in self._manifests():
+        for m in self._manifests() + self.parts(wave + 1):
             for info in m["tables"].values():
                 kept.add(os.path.normpath(info["path"]))
         for table in os.listdir(self.root):

@@ -302,3 +302,105 @@ def test_extended_canon_mode(spark, tmp_path):
         # same host case-insensitively -> extended collapses it)
         assert d1 == expected_d1, (mode, d1)
         _assert_match(crawler, _oracle_run(cfg, pages_pdf, robots_pdf))
+
+
+def test_bloom_prefilter_correctness(spark, tmp_path):
+    """Bloom on vs off: identical emitted rows and seen-set (the
+    prefilter is a shuffle optimization, never a correctness input)."""
+    pages_pdf, robots_pdf, seeds = testkit.nice_site(branching=4, max_id_len=3)
+    outs = {}
+    for bloom in (True, False):
+        cfg = CrawlConfig(From=seeds, MaxDepth=2, RespectNofollow=True,
+                          bloom_prefilter=bloom, bloom_shards=4,
+                          bloom_bits_per_shard=1 << 12)  # tiny shards -> real FPs
+        c = SparkCrawler(
+            spark, cfg,
+            testkit.pages_to_spark(spark, pages_pdf),
+            testkit.robots_to_spark(spark, robots_pdf),
+            workdir=str(tmp_path / f"bloom-{bloom}"),
+        )
+        c.run()
+        outs[bloom] = (
+            sorted(tuple(r) for r in c.results().select("Depth", "Priority", "UrlKey").collect()),
+            {r["url_key"] for r in c.seen().collect()},
+        )
+    assert outs[True] == outs[False]
+
+
+def test_pacing_enabled_smoke(spark, tmp_path):
+    """pacing_enabled sleeps per host group but never changes the
+    emitted set (reference WaitTime analog, state.go:29-41)."""
+    import time as _time
+
+    pages_pdf, robots_pdf, seeds = testkit.nice_site(branching=3, max_id_len=2)
+    cfg = CrawlConfig(From=seeds, MaxDepth=1, RespectNofollow=True,
+                      WaitTime="200ms", pacing_enabled=True, per_host_budget=2)
+    c = SparkCrawler(
+        spark, cfg,
+        testkit.pages_to_spark(spark, pages_pdf),
+        testkit.robots_to_spark(spark, robots_pdf),
+        workdir=str(tmp_path / "paced"),
+    )
+    t0 = _time.time()
+    c.run()
+    assert _time.time() - t0 > 0.2  # at least one pacing sleep happened
+    _assert_match(c, _oracle_run(cfg, pages_pdf, robots_pdf))
+
+
+def test_midwave_resume(spark, tmp_path):
+    """Interrupt AFTER a politeness-subwave checkpoint but before the
+    wave completes: resume continues from the pending frontier and the
+    final output is identical to an uninterrupted budgeted run
+    (north_star: 'resumable mid-wave')."""
+    pages_pdf, robots_pdf, seeds = testkit.nice_site(branching=4, max_id_len=3)
+    cfg = CrawlConfig(From=seeds, MaxDepth=2, RespectNofollow=True, per_host_budget=3)
+
+    full = SparkCrawler(
+        spark, cfg,
+        testkit.pages_to_spark(spark, pages_pdf),
+        testkit.robots_to_spark(spark, robots_pdf),
+        workdir=str(tmp_path / "full"),
+    )
+    full.run()
+
+    class Interrupted(Exception):
+        pass
+
+    part = SparkCrawler(
+        spark, cfg,
+        testkit.pages_to_spark(spark, pages_pdf),
+        testkit.robots_to_spark(spark, robots_pdf),
+        workdir=str(tmp_path / "part"),
+    )
+    orig = part._apply_budget
+    calls = {"n": 0}
+
+    def boom(remaining, budget):
+        calls["n"] += 1
+        # wave2 (4 urls, budget 3) checkpoints part0 after its first
+        # subwave; the 4th call is wave2's second subwave -> interrupt
+        if calls["n"] >= 4:
+            raise Interrupted()
+        return orig(remaining, budget)
+
+    part._apply_budget = boom
+    with pytest.raises(Interrupted):
+        part.run()
+    # a mid-wave part manifest must exist for wave 2
+    assert part.store.parts(2), "expected a mid-wave checkpoint"
+
+    part2 = SparkCrawler(
+        spark, cfg,
+        testkit.pages_to_spark(spark, pages_pdf),
+        testkit.robots_to_spark(spark, robots_pdf),
+        workdir=str(tmp_path / "part"),
+    )
+    part2.run(resume=True)
+
+    a = sorted(tuple(r) for r in full.results().select("Depth", "Priority", "UrlKey").collect())
+    b = sorted(tuple(r) for r in part2.results().select("Depth", "Priority", "UrlKey").collect())
+    assert a == b
+    assert {r["url_key"] for r in full.seen().collect()} == {
+        r["url_key"] for r in part2.seen().collect()
+    }
+    _assert_match(part2, _oracle_run(cfg, pages_pdf, robots_pdf))
