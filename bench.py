@@ -29,12 +29,17 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 
-# bench-tier crawl sizing (FIXTURES.md): ~50 hosts, hot host 3x,
-# depth 2 -> ~18k fetches, ~200k link candidates through dedup
+# bench-tier crawl sizing (FIXTURES.md): two drains —
+#  deep: 50 hosts depth 2 (hot host 3x), 15.7k URLs over 3 waves
+#        (exercises the BFS loop shape)
+#  wide: 4000 hosts depth 1, 204k URLs over 2 waves (the throughput
+#        headline; same corpus as scripts/scaling_bench.py)
 N_HOSTS = int(os.environ.get("CRAWLSPARK_BENCH_HOSTS", "50"))
 BRANCHING = int(os.environ.get("CRAWLSPARK_BENCH_BRANCHING", "16"))
 DEPTH = int(os.environ.get("CRAWLSPARK_BENCH_DEPTH", "2"))
 HOT = int(os.environ.get("CRAWLSPARK_BENCH_HOT", "3"))
+WIDE_HOSTS = int(os.environ.get("CRAWLSPARK_BENCH_WIDE_HOSTS", "4000"))
+WIDE_BRANCHING = int(os.environ.get("CRAWLSPARK_BENCH_WIDE_BRANCHING", "50"))
 
 
 def build_spark(cpus: str = CPUS):
@@ -53,21 +58,24 @@ def build_spark(cpus: str = CPUS):
     )
 
 
-def bench_crawl(spark) -> tuple[float, dict]:
+def _drain(spark, n_hosts, branching, depth, hot) -> tuple[float, dict]:
     from crawlspark import benchgen
     from crawlspark.config import CrawlConfig
     from crawlspark.engine import SparkCrawler
 
-    pages = benchgen.gen_pages(spark, N_HOSTS, BRANCHING, DEPTH, HOT)
     # materialize the synthetic web first — generation is not crawl time
-    web_dir = os.path.join(tempfile.gettempdir(), f"crawlbench-web-{N_HOSTS}-{BRANCHING}-{DEPTH}-{HOT}")
+    web_dir = os.path.join(
+        tempfile.gettempdir(), f"crawlscale-web-{n_hosts}-{branching}-{depth}-{hot}"
+    )
     if not os.path.exists(os.path.join(web_dir, "_SUCCESS")):
-        pages.write.mode("overwrite").parquet(web_dir)
+        benchgen.gen_pages(spark, n_hosts, branching, depth, hot).write.mode(
+            "overwrite"
+        ).parquet(web_dir)
     pages_df = spark.read.parquet(web_dir)
-    robots_df = benchgen.gen_robots(spark, N_HOSTS)
+    robots_df = benchgen.gen_robots(spark, n_hosts)
     cfg = CrawlConfig(
-        From=benchgen.seed_urls(N_HOSTS),
-        MaxDepth=DEPTH,
+        From=benchgen.seed_urls(n_hosts),
+        MaxDepth=depth,
         RespectNofollow=False,
         shuffle_partitions=max(int(CPUS), 8),
         detailed_metrics=False,
@@ -80,9 +88,15 @@ def bench_crawl(spark) -> tuple[float, dict]:
     crawler.run()
     secs = time.time() - t0
     fetched = sum(m.get("fetched", 0) for m in crawler.store.metrics())
-    expected = benchgen.expected_counts(N_HOSTS, BRANCHING, DEPTH, HOT)
+    expected = benchgen.expected_counts(n_hosts, branching, depth, hot)
     assert fetched == expected, f"crawl fetched {fetched} != closed-form {expected}"
     return secs, {"fetched": fetched, "urls_per_sec": round(fetched / secs, 1)}
+
+
+def bench_crawl(spark) -> tuple[float, dict, float, dict]:
+    deep_secs, deep = _drain(spark, N_HOSTS, BRANCHING, DEPTH, HOT)
+    wide_secs, wide = _drain(spark, WIDE_HOSTS, WIDE_BRANCHING, 1, HOT)
+    return deep_secs, deep, wide_secs, wide
 
 
 def bench_queries(spark) -> dict[str, float]:
@@ -114,19 +128,25 @@ def main():
     spark = build_spark()
     spark.sparkContext.setLogLevel("ERROR")
 
-    crawl_secs, crawl_info = bench_crawl(spark)
+    deep_secs, deep, wide_secs, wide = bench_crawl(spark)
     qtimes = bench_queries(spark)
 
     query_secs = {k: v for k, v in qtimes.items() if not k.endswith("_rows")}
-    total = round(crawl_secs + sum(query_secs.values()), 3)
+    total = round(deep_secs + wide_secs + sum(query_secs.values()), 3)
     result = {
-        "metric": "crawl+analysis wall seconds (crawl_engine = frontier drain of "
-        f"{crawl_info['fetched']} URLs across {N_HOSTS} hosts, depth {DEPTH})",
+        "metric": "crawl+analysis wall seconds (crawl_deep = "
+        f"{deep['fetched']}-URL depth-{DEPTH} BFS; crawl_wide = "
+        f"{wide['fetched']}-URL frontier drain)",
         "value": total,
         "unit": "sec",
-        "queries": {"crawl_engine": round(crawl_secs, 3), **query_secs},
+        "queries": {
+            "crawl_deep": round(deep_secs, 3),
+            "crawl_wide": round(wide_secs, 3),
+            **query_secs,
+        },
         "sf": SF_DIR,
-        "urls_per_sec": crawl_info["urls_per_sec"],
+        "urls_per_sec": wide["urls_per_sec"],
+        "urls_per_sec_deep": deep["urls_per_sec"],
         "cpus": int(CPUS),
         "rows": {k[:-5]: v for k, v in qtimes.items() if k.endswith("_rows")},
     }
