@@ -278,6 +278,51 @@ def simhash(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id", _simhash(F.col("text")).alias("simhash64")).orderBy("doc_id")
 
 
+def simhash_neardup(docs: DataFrame, max_hamming: int = 7, bands: int = 8) -> DataFrame:
+    """SimHash near-dup pairs via band blocking: by pigeonhole, a pair
+    within ``max_hamming`` < ``bands`` differing bits must agree
+    exactly on at least one of the ``bands`` 8-bit bands; candidates
+    join on (band_idx, band_bits), verified by bit_count of the xor —
+    blocking + verify all JVM-side."""
+    width = 64 // bands
+    mask = (1 << width) - 1
+    h = simhash(docs)
+    banded = h.select(
+        "doc_id",
+        "simhash64",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_idx"),
+                        F.shiftrightunsigned("simhash64", b * width)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("band_bits"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc_id", "simhash64", "band.band_idx", "band.band_bits")
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_bits") == F.col("b.band_bits"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(F.col("a.simhash64").bitwiseXOR(F.col("b.simhash64"))).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+        .orderBy("hamming", "doc_a", "doc_b")
+    )
+
+
 def embedding_neardup(
     emb: DataFrame, threshold: float = 0.92, block_col: str = "label"
 ) -> DataFrame:

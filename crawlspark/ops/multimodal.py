@@ -132,6 +132,56 @@ def phash_neardup(images: DataFrame, max_hamming: int = 8) -> DataFrame:
     )
 
 
+_RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("image_id", T.StringType()),
+        T.StructField("w", T.IntegerType()),
+        T.StructField("h", T.IntegerType()),
+        T.StructField("bytes", T.BinaryType()),
+        T.StructField("fmt", T.StringType()),
+    ]
+)
+
+
+def resize_images(images: DataFrame, out_w: int = 16, out_h: int = 16) -> DataFrame:
+    """Decode -> block-mean resize (pure numpy) -> re-encode PNG.
+    The thumbnail stage of an image-training pipeline; Arrow-batched
+    mapInPandas, output is a valid input_hint-shaped table."""
+
+    def fn(batches):
+        import numpy as np
+
+        from crawlspark import imagecodec
+
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                arr = imagecodec.decode(bytes(r.bytes), r.fmt).astype(np.float64)
+                h, w, _ = arr.shape
+                ys = (np.arange(out_h + 1) * h) // out_h
+                xs = (np.arange(out_w + 1) * w) // out_w
+                out = np.empty((out_h, out_w, 3), dtype=np.uint8)
+                for i in range(out_h):
+                    for j in range(out_w):
+                        block = arr[
+                            ys[i] : max(ys[i + 1], ys[i] + 1),
+                            xs[j] : max(xs[j + 1], xs[j] + 1),
+                        ]
+                        out[i, j] = block.mean(axis=(0, 1)).round().clip(0, 255)
+                rows.append(
+                    {
+                        "image_id": r.image_id,
+                        "w": out_w,
+                        "h": out_h,
+                        "bytes": imagecodec.encode_png(out),
+                        "fmt": "png",
+                    }
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in _RESIZE_SCHEMA.fields])
+
+    return images.mapInPandas(fn, _RESIZE_SCHEMA).orderBy("image_id")
+
+
 def frame_sample(videos: DataFrame, every_n: int = 10) -> DataFrame:
     """Video frame sampling — STUB (no video codecs in this sandbox).
     The plumbing (schema, mapInPandas shape) is real; decode raises."""

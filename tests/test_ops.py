@@ -1,0 +1,85 @@
+"""Direct unit tests for training-data ops beyond the oracle harness:
+resize roundtrip, simhash banding, dup-cluster shape, feature dims."""
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def images(spark):
+    from crawlspark import testkit
+
+    return testkit.images_to_spark(spark, testkit.make_images(6))
+
+
+def test_resize_images(spark, images):
+    from crawlspark import imagecodec
+    from crawlspark.ops import multimodal
+
+    out = multimodal.resize_images(images, 8, 8).collect()
+    assert len(out) == 6
+    for r in out:
+        arr = imagecodec.decode_png(bytes(r["bytes"]))
+        assert arr.shape == (8, 8, 3)
+        # resized thumbnail preserves the gradient direction of the synth
+        truth = imagecodec.synth_image(r["image_id"], 24, 16)
+        assert (arr[:, -1, 0].mean() > arr[:, 0, 0].mean()) == (
+            truth[:, -1, 0].mean() > truth[:, 0, 0].mean()
+        )
+
+
+def test_image_features_dims(spark, images):
+    from crawlspark.ops import multimodal
+
+    out = multimodal.image_features(images, grid=4).collect()
+    assert all(len(r["features"]) == 4 * 4 * 3 for r in out)
+    assert all(0.0 <= v <= 1.0 for r in out for v in r["features"])
+
+
+def test_frame_sample_is_stubbed(spark, images):
+    from crawlspark.ops import multimodal
+
+    vids = images.selectExpr("image_id AS video_id", "bytes")
+    with pytest.raises(Exception, match="NotImplementedError|video decode"):
+        multimodal.frame_sample(vids).collect()
+
+
+def test_simhash_neardup_self_consistency(spark):
+    """A doc paired with a near-identical copy lands within hamming
+    distance; unrelated docs (random vocab) do not collide at <=3."""
+    import pandas as pd
+
+    base = ("the quick brown fox jumps over the lazy dog while rain falls "
+            "softly on ancient rooftops across the quiet northern village")
+    rows = [
+        {"doc_id": 1, "text": base, "lang": "en", "source": "s", "n_chars": 10},
+        {"doc_id": 2, "text": base.replace("rain", "snow"), "lang": "en", "source": "s", "n_chars": 10},
+        {"doc_id": 3, "text": "unrelated words entirely different topic completely separate subject matter here", "lang": "en", "source": "s", "n_chars": 10},
+    ]
+    docs = spark.createDataFrame(pd.DataFrame(rows))
+    from crawlspark.ops import dedup
+
+    pairs = {(r["doc_a"], r["doc_b"]): r["hamming"] for r in dedup.simhash_neardup(docs).collect()}
+    assert (1, 2) in pairs
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_dup_clusters_transitivity(spark):
+    """a~b and b~c (but a!~c directly) must share one cluster."""
+    import pandas as pd
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    rows = [
+        {"doc_id": 10, "text": base, "lang": "en", "source": "s", "n_chars": 1},
+        {"doc_id": 11, "text": base + " extra", "lang": "en", "source": "s", "n_chars": 1},
+        {"doc_id": 12, "text": "extra " + base, "lang": "en", "source": "s", "n_chars": 1},
+        {"doc_id": 13, "text": "completely different content about databases and sparks", "lang": "en", "source": "s", "n_chars": 1},
+    ]
+    docs = spark.createDataFrame(pd.DataFrame(rows))
+    from crawlspark.ops import dedup
+
+    clusters = dedup.dup_clusters(docs).collect()
+    by_cluster = {r["cluster_id"]: set(r["doc_ids"].split(",")) for r in clusters}
+    big = [v for v in by_cluster.values() if len(v) >= 3]
+    assert big and {"10", "11", "12"} <= big[0]
+    assert all("13" not in v for v in by_cluster.values())
