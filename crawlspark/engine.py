@@ -54,13 +54,6 @@ __all__ = ["SparkCrawler"]
 
 RESULT_FULL_SCHEMA = T.StructType(RESULT_FIELDS + RESULT_ENGINE_FIELDS)
 
-_PARTS_FIELDS = [
-    T.StructField("scheme", T.StringType()),
-    T.StructField("host", T.StringType()),
-    T.StructField("fetch_key", T.StringType()),
-]
-
-
 def _with_url_parts(df: DataFrame) -> DataFrame:
     """scheme/host/fetch_key as pure column expressions over
     fetch_url. Frontier fetch_urls are ALWAYS outputs of canon (seeds
