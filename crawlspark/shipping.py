@@ -17,24 +17,41 @@ import zipfile
 __all__ = ["ensure_shipped", "make_pyfiles_zip"]
 
 
+def _loaded_from_zip() -> bool:
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    return not os.path.isdir(pkg_dir)
+
+
 def make_pyfiles_zip(dest: str | None = None) -> str:
     """Zip the crawlspark package (for --py-files or addPyFile)."""
     pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    if not os.path.isdir(pkg_dir):
+        raise RuntimeError(
+            "crawlspark already runs from a zip (--py-files); nothing to re-zip"
+        )
     if dest is None:
         dest = os.path.join(tempfile.gettempdir(), "crawlspark-pyfiles.zip")
-    with zipfile.ZipFile(dest, "w") as zf:
+    tmp = dest + ".tmp"
+    with zipfile.ZipFile(tmp, "w") as zf:
         for root, _dirs, files in os.walk(pkg_dir):
             for f in files:
                 if f.endswith(".py"):
                     full = os.path.join(root, f)
                     rel = os.path.relpath(full, os.path.dirname(pkg_dir))
                     zf.write(full, rel)
+    os.replace(tmp, dest)  # atomic — never leaves a half-written zip
     return dest
 
 
 def ensure_shipped(spark) -> None:
     sc = spark.sparkContext
     if getattr(sc, "_crawlspark_shipped", False):
+        return
+    if _loaded_from_zip():
+        # running under spark-submit --py-files: executors already
+        # have the zip; re-zipping from inside the archive is both
+        # impossible and (previously) clobbered the shared zip
+        sc._crawlspark_shipped = True
         return
     sc.addPyFile(make_pyfiles_zip())
     sc._crawlspark_shipped = True
