@@ -182,12 +182,14 @@ METRICS_SCHEMA = T.StructType(
     ]
 )
 
+# standard-SQL type names, matching the reference generator exactly
+# (gen.go:107-126: string->STRING, int->INT64, bool->BOOL, float64->FLOAT64)
 _BQ_TYPE = {
     "string": "STRING",
-    "long": "INTEGER",
-    "integer": "INTEGER",
-    "boolean": "BOOLEAN",
-    "double": "FLOAT",
+    "long": "INT64",
+    "integer": "INT64",
+    "boolean": "BOOL",
+    "double": "FLOAT64",
 }
 
 

@@ -63,7 +63,7 @@ def test_bigquery_schema_export():
     REQUIRED field, nested RECORDs, REPEATED Links/Hreflang/Header."""
     fields = json.loads(bigquery_json(RESULT_SCHEMA))
     by_name = {f["name"]: f for f in fields}
-    assert by_name["Depth"] == {"name": "Depth", "type": "INTEGER", "mode": "REQUIRED"}
+    assert by_name["Depth"] == {"name": "Depth", "type": "INT64", "mode": "REQUIRED"}
     assert by_name["Address"]["type"] == "RECORD"
     assert by_name["Links"]["mode"] == "REPEATED"
     assert {sf["name"] for sf in by_name["Address"]["fields"]} == {
@@ -77,6 +77,18 @@ def test_bigquery_schema_export():
     assert ours == ref_names
     ref_modes = {f["name"]: f["mode"] for f in ref}
     assert all(by_name[n]["mode"] == m for n, m in ref_modes.items())
+
+    # full deep-structure parity: names, types, modes at every level
+    def strip(fs):
+        return [
+            {
+                "name": f["name"], "type": f["type"], "mode": f["mode"],
+                "fields": strip(f.get("fields", [])),
+            }
+            for f in fs
+        ]
+
+    assert strip(fields) == strip(ref)
 
 
 def test_cli_schema_subcommand():
