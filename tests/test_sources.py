@@ -204,3 +204,45 @@ def test_cli_spider_ndjson(tmp_path):
     blocked = [r for r in rows if r.get("Status") == "Blocked by robots.txt"]
     for b in blocked:
         assert "StatusCode" not in b and "Header" not in b
+
+
+def test_cli_list_mode_from_sitemap_xml(tmp_path):
+    """`crawl list -format=xml`: stdin sitemap -> single wave
+    (MaxDepth forced to 0, crawl.go:133-134)."""
+    import json as _json
+
+    cfgp = tmp_path / "config.json"
+    cfgp.write_text(_json.dumps({"MaxDepth": 3, "RespectNofollow": True}))
+    out = subprocess.run(
+        [sys.executable, "-m", "crawlspark.cli", "list", "-format=xml", str(cfgp)],
+        input=URLSET, capture_output=True, text=True, cwd="/root/repo", timeout=300,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    rows = [_json.loads(line) for line in out.stdout.splitlines() if line.startswith("{")]
+    # exactly the 2 sitemap URLs, all depth 0 despite MaxDepth=3 in config
+    assert len(rows) == 2
+    assert all(r["Depth"] == 0 for r in rows)
+    assert {r["Address"]["Full"] for r in rows} == {
+        "http://site-0.test/", "http://site-0.test/0",
+    }
+
+
+def test_langid_discriminates_real_text(spark):
+    """langid's trigram profiles on real sentences in 4 languages."""
+    import pandas as pd
+
+    from crawlspark.ops import text as ops_text
+
+    rows = [
+        {"doc_id": 1, "lang": "en", "source": "s", "n_chars": 1,
+         "text": "the quick brown fox jumps over the lazy dog and runs into the forest"},
+        {"doc_id": 2, "lang": "es", "source": "s", "n_chars": 1,
+         "text": "el perro corre por la calle y la casa de la familia que vive cerca del mar"},
+        {"doc_id": 3, "lang": "fr", "source": "s", "n_chars": 1,
+         "text": "le chien court dans la rue et les enfants jouent devant la maison de la famille"},
+        {"doc_id": 4, "lang": "de", "source": "s", "n_chars": 1,
+         "text": "der hund läuft durch die strasse und die kinder spielen vor dem haus einer familie"},
+    ]
+    docs = spark.createDataFrame(pd.DataFrame(rows))
+    out = {r["doc_id"]: r["lang_pred"] for r in ops_text.langid(docs).collect()}
+    assert out == {1: "en", 2: "es", 3: "fr", 4: "de"}
