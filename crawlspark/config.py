@@ -66,6 +66,8 @@ class CrawlConfig:
     hot_host_salt_threshold: int = 10_000  # rows/host above which to salt-split
     pacing_enabled: bool = False  # real sleeps in the fetch stage (off in tests)
     detailed_metrics: bool = True  # per-wave candidate counts (extra job; bench turns off)
+    robots_broadcast: bool = True  # hint broadcast for the rules join; False at 10^7+ hosts
+    # (AQE still picks broadcast when the rules table is small enough)
 
     @classmethod
     def from_json(cls, text: str) -> "CrawlConfig":

@@ -411,8 +411,9 @@ class SparkCrawler:
         # robots.Locate parse failure (no host/scheme, e.g. mailto:)
         # -> URL skipped silently, no result row (state.go:57-61 FIXME path)
         parts = parts.filter((F.col("host") != "") & (F.col("scheme") != ""))
+        robots_side = F.broadcast(self.robots) if cfg.robots_broadcast else self.robots
         gated = parts.join(
-            F.broadcast(self.robots),
+            robots_side,
             (parts["scheme"] == F.col("r_scheme")) & (parts["host"] == F.col("r_host")),
             "left",
         ).withColumn(
@@ -458,7 +459,7 @@ class SparkCrawler:
                 (F.col("host") != "") & (F.col("scheme") != "")
             )
             remaining = pparts.join(
-                F.broadcast(self.robots),
+                robots_side,
                 (pparts["scheme"] == F.col("r_scheme")) & (pparts["host"] == F.col("r_host")),
                 "left",
             ).withColumn("_allowed", F.lit(True))
