@@ -404,3 +404,47 @@ def test_midwave_resume(spark, tmp_path):
         r["url_key"] for r in part2.seen().collect()
     }
     _assert_match(part2, _oracle_run(cfg, pages_pdf, robots_pdf))
+
+
+def test_bucketed_pages_fetch_join(spark, tmp_path):
+    """Bucketed pages table: identical crawl output, and the fetch
+    join plan scans the pages side bucketed (no pages-side shuffle)."""
+    from crawlspark.engine import bucketize_pages
+
+    pages_pdf, robots_pdf, seeds = testkit.nice_site(branching=4, max_id_len=3)
+    pages_df = testkit.pages_to_spark(spark, pages_pdf)
+    cfg = CrawlConfig(From=seeds, MaxDepth=2, RespectNofollow=True)
+
+    plain = SparkCrawler(
+        spark, cfg, pages_df, testkit.robots_to_spark(spark, robots_pdf),
+        workdir=str(tmp_path / "plain"),
+    )
+    plain.run()
+
+    bucketed_pages = bucketize_pages(spark, pages_df, "pages_bucketed_test", buckets=8)
+    bucketed = SparkCrawler(
+        spark, cfg, bucketed_pages, testkit.robots_to_spark(spark, robots_pdf),
+        workdir=str(tmp_path / "bucketed"),
+    )
+    bucketed.run()
+
+    a = sorted(tuple(r) for r in plain.results().select("Depth", "Priority", "UrlKey").collect())
+    b = sorted(tuple(r) for r in bucketed.results().select("Depth", "Priority", "UrlKey").collect())
+    assert a == b
+
+    # the join planned against the bucketed scan (suppress broadcast of
+    # the tiny test frontier so the sort-merge path is visible)
+    from pyspark.sql import functions as F
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        frontier = pages_df.select(F.col("url").alias("fetch_key")).limit(10)
+        j = frontier.join(bucketed_pages, F.col("fetch_key") == bucketed_pages["url"], "inner")
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "Bucketed: true" in plan
+        # no Exchange directly above the bucketed scan side
+        pages_side = plan.split("FileScan parquet")[1]
+        assert "SelectedBucketsCount" in pages_side
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
