@@ -78,6 +78,7 @@ def _drain(spark, n_hosts, branching, depth, hot) -> tuple[float, dict]:
         MaxDepth=depth,
         RespectNofollow=False,
         shuffle_partitions=max(int(CPUS), 8),
+        parse_partitions=3 * max(int(CPUS), 8),
         detailed_metrics=False,
     )
     crawler = SparkCrawler(

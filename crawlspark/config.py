@@ -68,6 +68,9 @@ class CrawlConfig:
     detailed_metrics: bool = True  # per-wave candidate counts (extra job; bench turns off)
     robots_broadcast: bool = True  # hint broadcast for the rules join; False at 10^7+ hosts
     # (AQE still picks broadcast when the rules table is small enough)
+    parse_partitions: int | None = None  # row-parallelism of the parse stage;
+    # None -> shuffle_partitions. CPU-bound Python stages balance best at
+    # ~2-3 tasks/core (measured +20-40% on the wide drain at local[32]).
 
     @classmethod
     def from_json(cls, text: str) -> "CrawlConfig":

@@ -288,7 +288,8 @@ class SparkCrawler:
         # CPU-heavy parse UDF onto 1-2 cores. Parse cost scales with
         # ROWS, not bytes — force row-parallelism before the Python
         # stage (cheap shuffle vs single-threaded parse).
-        joined = joined.repartition(self.cfg.shuffle_partitions, "url_key")
+        n_parse = self.cfg.parse_partitions or self.cfg.shuffle_partitions
+        joined = joined.repartition(n_parse, "url_key")
         if self.cfg.pacing_enabled and self.cfg.wait_seconds > 0:
             wait = self.cfg.wait_seconds
             budget = self.cfg.per_host_budget or self.cfg.Connections

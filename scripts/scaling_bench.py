@@ -72,7 +72,7 @@ def single_run(cpus: int) -> dict:
     # spin-up outside the measured window (steady-state throughput)
     warm_cfg = CrawlConfig(
         From=benchgen.seed_urls(8), MaxDepth=1, RespectNofollow=False,
-        shuffle_partitions=max(cpus, 8), detailed_metrics=False,
+        shuffle_partitions=max(cpus, 8), parse_partitions=3 * max(cpus, 8), detailed_metrics=False,
     )
     SparkCrawler(
         spark, warm_cfg, pages, robots,
@@ -84,6 +84,7 @@ def single_run(cpus: int) -> dict:
         MaxDepth=DEPTH,
         RespectNofollow=False,
         shuffle_partitions=max(cpus, 8),
+        parse_partitions=3 * max(cpus, 8),
         detailed_metrics=False,
     )
     crawler = SparkCrawler(
