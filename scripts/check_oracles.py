@@ -23,18 +23,43 @@ TABLES = [
 
 
 def norm(v):
+    """EXACT value normalization — no rounding. Every float-producing
+    query rounds at source (CLAUDE.md invariant), so cross-engine
+    floats must be bit-identical; tolerating <1e-4 drift here hid the
+    r01 HUGEINT hash mismatches (VERDICT r01 #1 / ADVICE)."""
     import decimal
 
     if v is None:
         return "z:"
     if isinstance(v, bool):
         return f"b:{v}"
-    if isinstance(v, (int, float, decimal.Decimal)):
-        f = float(v)
-        if math.isnan(f):
-            return "n:nan"
-        return f"n:{round(f, 4)}"
+    if isinstance(v, int):
+        return f"i:{v}"
+    if isinstance(v, decimal.Decimal):
+        return f"dec:{v}"  # intentionally != i:/f: — decimals are non-portable
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "f:nan"
+        return f"f:{v.hex()}"
     return f"s:{v}"
+
+
+# DuckDB output types that serialize identically to Spark's in the
+# driver's hasher. HUGEINT (int128) / DECIMAL are NOT portable even
+# when the values are equal — the r01 failure mode.
+_PORTABLE_DUCK_TYPES = (
+    "BOOLEAN", "TINYINT", "SMALLINT", "INTEGER", "BIGINT",
+    "UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT",
+    "FLOAT", "DOUBLE", "VARCHAR", "DATE", "TIMESTAMP", "TIMESTAMP_NS",
+)
+
+
+def _nonportable_cols(rel) -> list[tuple[str, str]]:
+    return [
+        (name, str(t))
+        for name, t in zip([d[0] for d in rel.description], rel.types)
+        if str(t) not in _PORTABLE_DUCK_TYPES
+    ]
 
 
 def main():
@@ -79,10 +104,15 @@ def main():
         try:
             rel = con.sql(oracles[name])
             duck_cols = [d[0] for d in rel.description]
+            bad_types = _nonportable_cols(rel)
             duck_rows = rel.fetchall()
         except Exception as e:
             failures.append((name, f"DUCK ERROR: {e}"))
             print(f"FAIL {name}: duckdb error {str(e)[:200]}")
+            continue
+        if bad_types:
+            failures.append((name, f"non-portable oracle types {bad_types}"))
+            print(f"FAIL {name}: non-portable DuckDB output types {bad_types}")
             continue
         if sorted(c.lower() for c in spark_cols) != sorted(c.lower() for c in duck_cols):
             failures.append((name, f"cols {spark_cols} vs {duck_cols}"))
