@@ -193,17 +193,39 @@ def _seed_for(image_id: str) -> int:
 
 
 def synth_image(image_id: str, w: int = 32, h: int = 32) -> np.ndarray:
-    """Deterministic synthetic RGB image: gradient + seeded noise."""
-    rng = np.random.RandomState(_seed_for(image_id))
+    """Deterministic synthetic RGB image: one of four seed-keyed base
+    patterns (gradient / stripes / checkerboard / radial) + seeded
+    noise. Patterns make distinct images perceptually DISTANT (far
+    phash) while same-pattern images stay NEAR (noise-only deltas) —
+    so near-dup operators over this corpus have real selectivity
+    instead of one all-pairs cluster (VERDICT r01: the 8-image fixture
+    was entirely within hamming 3)."""
+    seed = _seed_for(image_id)
+    rng = np.random.RandomState(seed)
     yy, xx = np.mgrid[0:h, 0:w]
-    base = np.stack(
-        [
-            (xx * 255 // max(w - 1, 1)),
-            (yy * 255 // max(h - 1, 1)),
-            ((xx + yy) * 255 // max(w + h - 2, 1)),
-        ],
-        axis=2,
-    ).astype(np.int32)
+    pat = (seed >> 8) % 4
+    if pat == 0:  # diagonal gradient
+        base = np.stack(
+            [
+                (xx * 255 // max(w - 1, 1)),
+                (yy * 255 // max(h - 1, 1)),
+                ((xx + yy) * 255 // max(w + h - 2, 1)),
+            ],
+            axis=2,
+        ).astype(np.int32)
+    elif pat == 1:  # horizontal stripes
+        stripe = ((yy // max(h // 8, 1)) % 2) * 200 + 28
+        base = np.stack([stripe, 255 - stripe, (xx * 255 // max(w - 1, 1))], axis=2).astype(
+            np.int32
+        )
+    elif pat == 2:  # checkerboard
+        check = (((yy // max(h // 8, 1)) + (xx // max(w // 8, 1))) % 2) * 220 + 18
+        base = np.stack([check, check, 255 - check], axis=2).astype(np.int32)
+    else:  # radial
+        cy, cx = (h - 1) / 2.0, (w - 1) / 2.0
+        r = np.sqrt((yy - cy) ** 2 + (xx - cx) ** 2)
+        rad = (r * 255 / max(r.max(), 1)).astype(np.int32)
+        base = np.stack([rad, 255 - rad, (rad + 128) % 256], axis=2).astype(np.int32)
     noise = rng.randint(-16, 17, size=(h, w, 3))
     return (base + noise).clip(0, 255).astype(np.uint8)
 

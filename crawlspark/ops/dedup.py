@@ -284,6 +284,11 @@ def simhash_neardup(docs: DataFrame, max_hamming: int = 7, bands: int = 8) -> Da
     exactly on at least one of the ``bands`` 8-bit bands; candidates
     join on (band_idx, band_bits), verified by bit_count of the xor —
     blocking + verify all JVM-side."""
+    if max_hamming >= bands:
+        raise ValueError(
+            f"banded blocking guarantees recall only for max_hamming < bands "
+            f"(got max_hamming={max_hamming}, bands={bands})"
+        )
     width = 64 // bands
     mask = (1 << width) - 1
     h = simhash(docs)

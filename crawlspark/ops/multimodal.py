@@ -38,40 +38,48 @@ _STATS_SCHEMA = T.StructType(
 )
 
 
+def decode_stats_row(
+    image_id: str, data: bytes, fmt: str, w: int, h: int, phash: int, caption: str | None
+) -> dict:
+    """Pure per-row decode-stats computation — shared by the Spark
+    operator below and scripts/make_fixtures.py, which commits its
+    output as the DuckDB oracle's ground-truth parquet (single source
+    of truth; the oracle then checks the DISTRIBUTED run reproduces
+    the committed per-row values)."""
+    from crawlspark import imagecodec
+
+    arr = imagecodec.decode(data, fmt)
+    truth = imagecodec.synth_image(image_id, w, h)
+    return {
+        "image_id": image_id,
+        "fmt": fmt,
+        "w": w,
+        "h": h,
+        "mean_r": round(float(arr[:, :, 0].mean()), 4),
+        "mean_g": round(float(arr[:, :, 1].mean()), 4),
+        "mean_b": round(float(arr[:, :, 2].mean()), 4),
+        "psnr_vs_truth": round(min(imagecodec.psnr(truth, arr), 99.0), 2),
+        "phash_match": imagecodec.phash64(arr) == phash
+        if fmt == "png"
+        else abs(bin((imagecodec.phash64(arr) ^ phash) & ((1 << 64) - 1)).count("1")) <= 4,
+        "caption_len": len(caption or ""),
+    }
+
+
 def decode_stats(images: DataFrame) -> DataFrame:
     """Decode every image, per-channel means + PSNR vs the seeded
     ground truth + phash re-check — the per-row payload invariant as
     a distributed operator."""
 
     def fn(batches):
-        from crawlspark import imagecodec
-
         for pdf in batches:
-            rows = []
-            for r in pdf.itertuples(index=False):
-                arr = imagecodec.decode(bytes(r.bytes), r.fmt)
-                truth = imagecodec.synth_image(r.image_id, int(r.w), int(r.h))
-                rows.append(
-                    {
-                        "image_id": r.image_id,
-                        "fmt": r.fmt,
-                        "w": int(r.w),
-                        "h": int(r.h),
-                        "mean_r": round(float(arr[:, :, 0].mean()), 4),
-                        "mean_g": round(float(arr[:, :, 1].mean()), 4),
-                        "mean_b": round(float(arr[:, :, 2].mean()), 4),
-                        "psnr_vs_truth": round(min(imagecodec.psnr(truth, arr), 99.0), 2),
-                        "phash_match": imagecodec.phash64(arr) == int(r.phash)
-                        if r.fmt == "png"
-                        else abs(
-                            bin(
-                                (imagecodec.phash64(arr) ^ int(r.phash)) & ((1 << 64) - 1)
-                            ).count("1")
-                        )
-                        <= 4,
-                        "caption_len": len(r.caption or ""),
-                    }
+            rows = [
+                decode_stats_row(
+                    r.image_id, bytes(r.bytes), r.fmt, int(r.w), int(r.h),
+                    int(r.phash), r.caption,
                 )
+                for r in pdf.itertuples(index=False)
+            ]
             yield pd.DataFrame(rows, columns=[f.name for f in _STATS_SCHEMA.fields])
 
     return images.mapInPandas(fn, _STATS_SCHEMA).orderBy("image_id")
@@ -85,49 +93,119 @@ _FEAT_SCHEMA = T.StructType(
 )
 
 
+def image_features_row(data: bytes, fmt: str, grid: int = 4) -> list[float]:
+    """Pure per-row grid-pooled feature vector — shared by the Spark
+    operator and the committed-fixture generator (same contract as
+    decode_stats_row)."""
+    import numpy as np
+
+    from crawlspark import imagecodec
+
+    arr = imagecodec.decode(data, fmt).astype(np.float32)
+    h, w, _ = arr.shape
+    ys = (np.arange(grid + 1) * h) // grid
+    xs = (np.arange(grid + 1) * w) // grid
+    v: list[float] = []
+    for i in range(grid):
+        for j in range(grid):
+            block = arr[ys[i] : max(ys[i + 1], ys[i] + 1), xs[j] : max(xs[j + 1], xs[j] + 1)]
+            v.extend((block.mean(axis=(0, 1)) / 255.0).tolist())
+    return [float(x) for x in v]
+
+
 def image_features(images: DataFrame, grid: int = 4) -> DataFrame:
     """Feature extraction: grid-pooled mean intensities -> a
     grid*grid*3 float vector (the embedding-column producer for
     ops/similarity over image corpora)."""
 
     def fn(batches):
-        import numpy as np
-
-        from crawlspark import imagecodec
-
         for pdf in batches:
             ids, feats = [], []
             for r in pdf.itertuples(index=False):
-                arr = imagecodec.decode(bytes(r.bytes), r.fmt).astype(np.float32)
-                h, w, _ = arr.shape
-                ys = (np.arange(grid + 1) * h) // grid
-                xs = (np.arange(grid + 1) * w) // grid
-                v = []
-                for i in range(grid):
-                    for j in range(grid):
-                        block = arr[ys[i] : max(ys[i + 1], ys[i] + 1), xs[j] : max(xs[j + 1], xs[j] + 1)]
-                        v.extend((block.mean(axis=(0, 1)) / 255.0).tolist())
                 ids.append(r.image_id)
-                feats.append([float(x) for x in v])
+                feats.append(image_features_row(bytes(r.bytes), r.fmt, grid))
             yield pd.DataFrame({"image_id": ids, "features": feats})
 
     return images.mapInPandas(fn, _FEAT_SCHEMA).orderBy("image_id")
 
 
-def phash_neardup(images: DataFrame, max_hamming: int = 8) -> DataFrame:
-    """Perceptual-hash near-duplicate pairs: hamming distance via
-    xor + bit_count — pure JVM bit math, oracle-portable."""
-    a = images.select(F.col("image_id").alias("id_a"), F.col("phash").alias("ph_a"))
-    b = images.select(F.col("image_id").alias("id_b"), F.col("phash").alias("ph_b"))
+def phash_neardup(
+    images: DataFrame, max_hamming: int = 7, bands: int | None = None, exact: bool = False
+) -> DataFrame:
+    """Perceptual-hash near-duplicate pairs: hamming via xor +
+    bit_count — pure JVM bit math, oracle-portable.
+
+    Default path is BANDED BLOCKING (multi-index hashing): the 64-bit
+    phash splits into ``bands`` contiguous slices; by pigeonhole a
+    pair within ``max_hamming`` differing bits agrees exactly on at
+    least one slice when ``max_hamming < bands`` — so candidates join
+    on (band_idx, band_bits) and the xor/bit_count verify is exact
+    recall. The band key is high-entropy (hash bits), so the shuffle
+    is skew-free; pair output is bounded by true near-dups — the same
+    100 TB shape as simhash_neardup (ops/dedup.py).
+
+    ``exact=True`` is the documented O(n^2) crossJoin escape hatch for
+    tiny corpora or thresholds beyond the blocked guarantee (a 64-bit
+    hash can't pigeonhole hamming > 31 with >=2-bit slices)."""
+    if exact:
+        a = images.select(F.col("image_id").alias("id_a"), F.col("phash").alias("ph_a"))
+        b = images.select(F.col("image_id").alias("id_b"), F.col("phash").alias("ph_b"))
+        return (
+            a.crossJoin(b)
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select(
+                "id_a",
+                "id_b",
+                F.bit_count(F.col("ph_a").bitwiseXOR(F.col("ph_b"))).alias("hamming"),
+            )
+            .filter(F.col("hamming") <= max_hamming)
+            .orderBy("hamming", "id_a", "id_b")
+        )
+    bands = bands if bands is not None else max_hamming + 1
+    if bands <= max_hamming:
+        raise ValueError(
+            f"blocked path needs bands > max_hamming for exact recall "
+            f"(got bands={bands}, max_hamming={max_hamming})"
+        )
+    if bands > 32:
+        raise ValueError(
+            f"bands={bands} leaves <2-bit slices; use exact=True for hamming > 31"
+        )
+    # split 64 bits into `bands` nearly-equal contiguous slices
+    widths = [64 // bands + (1 if i < 64 % bands else 0) for i in range(bands)]
+    offsets = [sum(widths[:i]) for i in range(bands)]
+    banded = images.select(
+        F.col("image_id").alias("doc"),
+        F.col("phash").alias("ph"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_idx"),
+                        F.shiftrightunsigned("phash", offsets[b])
+                        .bitwiseAND(F.lit((1 << widths[b]) - 1))
+                        .alias("band_bits"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc", "ph", "band.band_idx", "band.band_bits")
+    a, b = banded.alias("a"), banded.alias("b")
     return (
-        a.crossJoin(b)
-        .filter(F.col("id_a") < F.col("id_b"))
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_bits") == F.col("b.band_bits"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
         .select(
-            "id_a",
-            "id_b",
-            F.bit_count(F.col("ph_a").bitwiseXOR(F.col("ph_b"))).alias("hamming"),
+            F.col("a.doc").alias("id_a"),
+            F.col("b.doc").alias("id_b"),
+            F.bit_count(F.col("a.ph").bitwiseXOR(F.col("b.ph"))).alias("hamming"),
         )
         .filter(F.col("hamming") <= max_hamming)
+        .distinct()
         .orderBy("hamming", "id_a", "id_b")
     )
 
@@ -143,40 +221,45 @@ _RESIZE_SCHEMA = T.StructType(
 )
 
 
+def resize_row(data: bytes, fmt: str, out_w: int, out_h: int) -> bytes:
+    """Pure per-row block-mean resize -> PNG bytes (deterministic
+    encoder, so md5(bytes) is a committed-fixture-checkable value)."""
+    import numpy as np
+
+    from crawlspark import imagecodec
+
+    arr = imagecodec.decode(data, fmt).astype(np.float64)
+    h, w, _ = arr.shape
+    ys = (np.arange(out_h + 1) * h) // out_h
+    xs = (np.arange(out_w + 1) * w) // out_w
+    out = np.empty((out_h, out_w, 3), dtype=np.uint8)
+    for i in range(out_h):
+        for j in range(out_w):
+            block = arr[
+                ys[i] : max(ys[i + 1], ys[i] + 1),
+                xs[j] : max(xs[j + 1], xs[j] + 1),
+            ]
+            out[i, j] = block.mean(axis=(0, 1)).round().clip(0, 255)
+    return imagecodec.encode_png(out)
+
+
 def resize_images(images: DataFrame, out_w: int = 16, out_h: int = 16) -> DataFrame:
     """Decode -> block-mean resize (pure numpy) -> re-encode PNG.
     The thumbnail stage of an image-training pipeline; Arrow-batched
     mapInPandas, output is a valid input_hint-shaped table."""
 
     def fn(batches):
-        import numpy as np
-
-        from crawlspark import imagecodec
-
         for pdf in batches:
-            rows = []
-            for r in pdf.itertuples(index=False):
-                arr = imagecodec.decode(bytes(r.bytes), r.fmt).astype(np.float64)
-                h, w, _ = arr.shape
-                ys = (np.arange(out_h + 1) * h) // out_h
-                xs = (np.arange(out_w + 1) * w) // out_w
-                out = np.empty((out_h, out_w, 3), dtype=np.uint8)
-                for i in range(out_h):
-                    for j in range(out_w):
-                        block = arr[
-                            ys[i] : max(ys[i + 1], ys[i] + 1),
-                            xs[j] : max(xs[j + 1], xs[j] + 1),
-                        ]
-                        out[i, j] = block.mean(axis=(0, 1)).round().clip(0, 255)
-                rows.append(
-                    {
-                        "image_id": r.image_id,
-                        "w": out_w,
-                        "h": out_h,
-                        "bytes": imagecodec.encode_png(out),
-                        "fmt": "png",
-                    }
-                )
+            rows = [
+                {
+                    "image_id": r.image_id,
+                    "w": out_w,
+                    "h": out_h,
+                    "bytes": resize_row(bytes(r.bytes), r.fmt, out_w, out_h),
+                    "fmt": "png",
+                }
+                for r in pdf.itertuples(index=False)
+            ]
             yield pd.DataFrame(rows, columns=[f.name for f in _RESIZE_SCHEMA.fields])
 
     return images.mapInPandas(fn, _RESIZE_SCHEMA).orderBy("image_id")

