@@ -4,6 +4,7 @@
   python -m crawlspark.cli list   [-format=text|xml] config.json < urls
   python -m crawlspark.cli sitemap <url-or-path>
   python -m crawlspark.cli schema
+  python -m crawlspark.cli version
   python -m crawlspark.cli help
 
 `spider`/`list` run the Spark engine against a fixture web (parquet
@@ -18,8 +19,13 @@ overrides From with stdin URLs and forces MaxDepth=0
 from __future__ import annotations
 
 import json
+import os
 import sys
 import tempfile
+
+# reference version string (version/version.go:8) — `crawl version`
+# prints it verbatim (crawl.go:72-74)
+VERSION = "v0.2.0"
 
 
 def _build_spark():
@@ -80,6 +86,11 @@ def main(argv: list[str] | None = None) -> int:
         print(bigquery_json())
         return 0
 
+    if cmd == "version":
+        # parity: crawl.go:56-59 + version/version.go:8
+        print(VERSION)
+        return 0
+
     if cmd == "sitemap":
         from . import sitemap
 
@@ -87,11 +98,24 @@ def main(argv: list[str] | None = None) -> int:
         if src.startswith("http"):
             print("no network in this sandbox: pass a local sitemap path", file=sys.stderr)
             return 1
-        with open(src, "rb") as f:
-            data = f.read()
-        urls = sitemap.parse(data) or [
-            u for child in sitemap.parse_index(data) for u in ([child])
-        ]
+        # recursive expansion (crawl.go:175-216): index files expand to
+        # page URLs via a local-file fetcher; child loc paths resolve
+        # relative to the input file's directory (ADVICE r01)
+        base_dir = os.path.dirname(os.path.abspath(src))
+
+        def _local_fetch(loc: str) -> bytes | None:
+            p = loc
+            if "://" in p:
+                p = p.split("://", 1)[1].split("/", 1)[-1]  # strip scheme+host
+            if not os.path.isabs(p):
+                p = os.path.join(base_dir, p)
+            try:
+                with open(p, "rb") as f:
+                    return f.read()
+            except OSError:
+                return None
+
+        urls = sitemap.fetch_all(src, lambda loc: _local_fetch(loc))
         for u in urls:
             print(u)
         return 0

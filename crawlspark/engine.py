@@ -115,7 +115,15 @@ def _rows_to_pdf(rows: list[dict]) -> pd.DataFrame:
     return pd.DataFrame({c: [r.get(c) for r in rows] for c in cols})
 
 
-def _blocked_map():
+def _blocked_map(counter=None):
+    """``counter``: optional Spark accumulator — counts blocked rows
+    inside the staging job itself (no separate count job, no driver
+    parquet scan; VERDICT r01 #4). Accumulator semantics: exact when
+    the stage runs once (the normal case — staged output is written
+    exactly once per wave); a task retry could over-add, which is
+    acceptable for a metrics field and impossible to hit in the
+    deterministic local tests."""
+
     def fn(batches):
         for pdf in batches:
             rows = []
@@ -125,6 +133,8 @@ def _blocked_map():
                 res["UrlKey"] = r.url_key
                 res["Payload"] = None
                 rows.append(res)
+            if counter is not None and rows:
+                counter.add(len(rows))
             yield _rows_to_pdf(rows)
 
     return fn
@@ -279,10 +289,31 @@ class SparkCrawler:
         defer = ranked.filter("NOT _take").drop("_host_n", "_salt", "_rk", "_take")
         return take, defer
 
-    def _fetch_and_parse(self, gated_allowed: DataFrame) -> DataFrame:
+    def _fetch_join(self, gated_allowed: DataFrame) -> DataFrame:
+        """The fetch interface: frontier rows joined against the pages
+        corpus (the sandbox's network). Config ``Header`` — the extra
+        request headers the reference sends on every fetch
+        (crawler.go:298-310) — rides along as a ``_req_headers``
+        passthrough column: the pages-join fetch can't use it, but a
+        production HTTP fetcher swapped in at this boundary receives
+        the pairs per-row."""
         joined = gated_allowed.select(
             "url_key", "fetch_url", "depth", "priority", "fetch_key", "host"
         ).join(self.pages, F.col("fetch_key") == self.pages["url"], "inner")
+        if self.cfg.Header:
+            joined = joined.withColumn(
+                "_req_headers",
+                F.array(
+                    *[
+                        F.struct(F.lit(h["K"]).alias("K"), F.lit(h["V"]).alias("V"))
+                        for h in self.cfg.Header
+                    ]
+                ),
+            )
+        return joined
+
+    def _fetch_and_parse(self, gated_allowed: DataFrame) -> DataFrame:
+        joined = self._fetch_join(gated_allowed)
         # AQE coalesces the join output by BYTE size (~50 MB of html
         # looks "small" -> 1-2 partitions), which would serialize the
         # CPU-heavy parse UDF onto 1-2 cores. Parse cost scales with
@@ -440,15 +471,21 @@ class SparkCrawler:
             "left",
         ).withColumn(
             "_allowed",
+            # gate on fetch_url, NOT url_key: the oracle (oracle.py:181)
+            # and reference (state.go:56) test the fetch/queue URL; in
+            # extended canon_mode url_key has sorted query params /
+            # normalized escapes, which query-sensitive robots rules
+            # would match differently (ADVICE r01, medium)
             _robots_allowed_udf(cfg.RobotsUserAgent)(
-                F.col("url_key"), F.col("robots_status"), F.col("robots_body")
+                F.col("fetch_url"), F.col("robots_status"), F.col("robots_body")
             ),
         )
 
+        blocked_acc = spark.sparkContext.accumulator(0)
         blocked = gated.filter(~F.col("_allowed")).select(
             "url_key", "fetch_url", "depth", "priority"
         )
-        blocked_results = blocked.mapInPandas(_blocked_map(), RESULT_FULL_SCHEMA)
+        blocked_results = blocked.mapInPandas(_blocked_map(blocked_acc), RESULT_FULL_SCHEMA)
         allowed = gated.filter(F.col("_allowed"))
 
         budget = cfg.per_host_budget
@@ -463,10 +500,15 @@ class SparkCrawler:
             phase_t[name] = round(time.time() - t_phase, 2)
             t_phase = time.time()
 
+        blocked_offset = 0
         if resume_parts:
             # mid-wave resume: adopt the completed politeness subwaves
             # and continue from the checkpointed pending frontier
             last_part = resume_parts[-1]
+            # blocked rows were all staged in subwave 0 (pre-interrupt);
+            # the accumulator won't re-fire for them — take the count
+            # from the checkpoint metrics
+            blocked_offset = last_part["metrics"].get("blocked_so_far", 0)
             store.restore_pending(d, last_part["tables"])
             for k in range(len(resume_parts)):
                 key = "results" if k == 0 else f"results_sub{k}"
@@ -505,7 +547,12 @@ class SparkCrawler:
             # mid-wave checkpoint: completed slices + the deferred
             # frontier survive an interruption (north_star clause)
             store.stage(f"pending_sub{subwave}", remaining.select(*frontier_cols), d)
-            store.commit_wave(d, {"phase": "partial", "subwave": subwave}, part=subwave)
+            store.commit_wave(
+                d,
+                {"phase": "partial", "subwave": subwave,
+                 "blocked_so_far": blocked_offset + blocked_acc.value},
+                part=subwave,
+            )
             subwave += 1
         lap("t_fetch_parse")
 
@@ -513,13 +560,9 @@ class SparkCrawler:
         result_files = [f for s in parsed_slices for f in s["files"]]
         wave_results = spark.read.parquet(*result_files)
         staged_rows = sum(s["rows"] for s in parsed_slices)
-        # metrics-only count via parquet scan on the driver — no Spark job
-        # (at cluster scale this becomes an accumulator)
-        import pyarrow.dataset as pads
-
-        blocked_n = pads.dataset(result_files).count_rows(
-            filter=pads.field("Status") == "Blocked by robots.txt"
-        )
+        # blocked count came from the accumulator inside the staging
+        # job — no extra job, no driver-side parquet scan
+        blocked_n = blocked_offset + blocked_acc.value
 
         metrics = {
             "frontier": frontier_rows if frontier_rows is not None else frontier.count(),
@@ -584,6 +627,9 @@ class SparkCrawler:
         out = dfs[0]
         for df in dfs[1:]:
             out = out.unionByName(df)
+        # the store's lineage columns (_wave, _part) are an
+        # implementation detail — public output is the Result schema
+        out = out.select(*[f.name for f in RESULT_FULL_SCHEMA.fields])
         if ordered:
             # determinism contract (SURVEY.md §7.6): refinement of the
             # reference's depth-ascending guarantee (crawler.go:197-199)

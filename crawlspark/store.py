@@ -3,9 +3,10 @@
 The north rule asks for Iceberg tables with per-wave snapshots,
 per-partition lineage and resumability. This container has no Iceberg
 runtime jars, so ``SnapshotStore`` implements the same contract on
-plain parquet + JSON manifests (and upgrades itself to real Iceberg
-``writeTo(...)`` calls transparently when the catalog is configured —
-see ``_iceberg_available``):
+plain parquet + JSON manifests — the ONLY backend here. (A real
+Iceberg backend would slot in behind the same stage/commit_wave/read
+interface: stage -> append files to a staged snapshot, commit_wave ->
+snapshot commit, read -> time-travel to the wave's snapshot.)
 
 - every table lives at ``<root>/<table>/wave=<d>/part-*.parquet``;
 - a wave COMMIT is the atomic rename of
@@ -35,21 +36,12 @@ from pyspark.sql import functions as F
 __all__ = ["SnapshotStore"]
 
 
-def _iceberg_available(spark: SparkSession) -> bool:
-    try:
-        spark._jvm.org.apache.iceberg.Table  # noqa: B018
-        return True
-    except Exception:
-        return False
-
-
 class SnapshotStore:
     def __init__(self, spark: SparkSession, root: str):
         self.spark = spark
         self.root = root
         self.manifest_dir = os.path.join(root, "_manifests")
         os.makedirs(self.manifest_dir, exist_ok=True)
-        self.iceberg = _iceberg_available(spark)
         self._pending: dict[str, dict] = {}
 
     # ---- write path ----

@@ -304,6 +304,73 @@ def test_extended_canon_mode(spark, tmp_path):
         _assert_match(crawler, _oracle_run(cfg, pages_pdf, robots_pdf))
 
 
+def test_extended_mode_robots_gate_on_fetch_url(spark, tmp_path):
+    """The robots gate must evaluate the FETCH url, not the canonical
+    url_key (oracle.py:181 / reference state.go:56): in extended mode
+    the key has sorted query params, so a query-sensitive Disallow
+    would otherwise allow what the reference blocks (ADVICE r01)."""
+    import pandas as pd
+
+    from crawlspark import testkit as tk
+
+    rows = [
+        tk.page_row("site-r.test", "", branching=0, extra_links=[("/q?b=2&a=1", "q")]),
+        tk.page_row("site-r.test", "q?b=2&a=1", branching=0),
+    ]
+    pages_pdf = pd.DataFrame(rows)
+    robots_pdf = pd.DataFrame(
+        [{"host": "site-r.test", "scheme": "http", "status_code": 200,
+          "body": "User-agent: *\nDisallow: /q?b=2\n"}]
+    )
+    cfg = CrawlConfig(From=["http://site-r.test/"], MaxDepth=1, canon_mode="extended")
+    crawler = SparkCrawler(
+        spark, cfg,
+        testkit.pages_to_spark(spark, pages_pdf),
+        testkit.robots_to_spark(spark, robots_pdf),
+        workdir=str(tmp_path / "ext-robots"),
+    )
+    crawler.run()
+    d1 = crawler.results().filter("Depth = 1").collect()
+    # the discovered URL /q?b=2&a=1 (extended key .../q?a=1&b=2) must
+    # be BLOCKED: the rule matches the fetch url, not the sorted key
+    assert len(d1) == 1 and d1[0]["Status"] == "Blocked by robots.txt"
+    _assert_match(crawler, _oracle_run(cfg, pages_pdf, robots_pdf))
+
+
+def test_request_headers_reach_fetch_interface(spark, tmp_path):
+    """Config Header pairs (sent on every fetch by the reference,
+    crawler.go:298-310) must reach the fetch boundary as per-row
+    passthrough columns — a production HTTP fetcher swapped in at
+    _fetch_join consumes them."""
+    from crawlspark.engine import _with_url_parts
+
+    pages_pdf, robots_pdf, seeds = testkit.nice_site(branching=2, max_id_len=2)
+    cfg = CrawlConfig(
+        From=seeds, MaxDepth=0,
+        Header=[{"K": "X-Team", "V": "crawl"}, {"K": "Accept", "V": "text/html"}],
+    )
+    crawler = SparkCrawler(
+        spark, cfg,
+        testkit.pages_to_spark(spark, pages_pdf),
+        testkit.robots_to_spark(spark, robots_pdf),
+        workdir=str(tmp_path / "hdrs"),
+    )
+    joined = crawler._fetch_join(_with_url_parts(crawler._initial_frontier()))
+    assert "_req_headers" in joined.columns
+    got = joined.select("_req_headers").first()[0]
+    assert [(p["K"], p["V"]) for p in got] == [("X-Team", "crawl"), ("Accept", "text/html")]
+    # headers are request-side only: emitted results are unchanged
+    crawler.run()
+    _assert_match(crawler, _oracle_run(cfg, pages_pdf, robots_pdf))
+
+
+def test_results_hide_lineage_columns(nice):
+    """results() is the public Result surface — the snapshot store's
+    _wave/_part lineage columns must not leak (ADVICE r01)."""
+    crawler, _ = nice
+    assert not [c for c in crawler.results().columns if c.startswith("_")]
+
+
 def test_bloom_prefilter_correctness(spark, tmp_path):
     """Bloom on vs off: identical emitted rows and seen-set (the
     prefilter is a shuffle optimization, never a correctness input)."""

@@ -100,6 +100,44 @@ def test_cli_schema_subcommand():
     assert json.loads(out.stdout)[1]["name"] == "Depth"
 
 
+def test_cli_version_subcommand():
+    """Parity with `crawl version` (crawl.go:56-59, version.go:8)."""
+    out = subprocess.run(
+        [sys.executable, "-m", "crawlspark.cli", "version"],
+        capture_output=True, text=True, cwd="/root/repo", timeout=60,
+    )
+    assert out.returncode == 0
+    assert out.stdout.strip() == "v0.2.0"
+
+
+def test_cli_sitemap_index_expands_recursively(tmp_path):
+    """A local sitemapindex must expand to PAGE urls (crawl.go:175-216
+    recursion), resolving child locs relative to the index file."""
+    child1 = tmp_path / "child1.xml"
+    child1.write_text(
+        '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+        "<url><loc>http://x.test/a</loc></url>"
+        "<url><loc>http://x.test/b</loc></url></urlset>"
+    )
+    child2 = tmp_path / "child2.xml"
+    child2.write_text(
+        '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+        "<url><loc>http://x.test/c</loc></url></urlset>"
+    )
+    index = tmp_path / "index.xml"
+    index.write_text(
+        '<sitemapindex xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+        "<sitemap><loc>http://x.test/child1.xml</loc></sitemap>"
+        "<sitemap><loc>http://x.test/child2.xml</loc></sitemap></sitemapindex>"
+    )
+    out = subprocess.run(
+        [sys.executable, "-m", "crawlspark.cli", "sitemap", str(index)],
+        capture_output=True, text=True, cwd="/root/repo", timeout=60,
+    )
+    assert out.returncode == 0
+    assert out.stdout.split() == ["http://x.test/a", "http://x.test/b", "http://x.test/c"]
+
+
 def test_streaming_event_windows(spark, tmp_path):
     from crawlspark import streaming
 
