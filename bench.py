@@ -95,6 +95,11 @@ def _drain(spark, n_hosts, branching, depth, hot) -> tuple[float, dict]:
 
 
 def bench_crawl(spark) -> tuple[float, dict, float, dict]:
+    # untimed warmup: spins up the JVM codegen paths + reusable Python
+    # workers so the timed drains measure steady-state crawl throughput,
+    # not one-time process startup (the deep drain is only ~18 s of
+    # work — a cold first wave was adding ~50% to it)
+    _drain(spark, 2, 2, 1, 1)
     deep_secs, deep = _drain(spark, N_HOSTS, BRANCHING, DEPTH, HOT)
     wide_secs, wide = _drain(spark, WIDE_HOSTS, WIDE_BRANCHING, 1, HOT)
     return deep_secs, deep, wide_secs, wide

@@ -62,6 +62,10 @@ class CrawlConfig:
     bloom_bits_per_shard: int = 1 << 20
     bloom_shards: int = 32
     bloom_hashes: int = 5
+    bloom_min_seen: int = 100_000  # activate the prefilter only once the
+    # seen-set crosses this many rows (one-time backfill mark): below it
+    # the exact anti-join is cheaper than the probe/mark jobs the bloom
+    # adds per wave; at 10^8+ seen rows the prefilter is the win
     per_host_budget: int | None = None  # max fetches per host per wave (None = unlimited)
     hot_host_salt_threshold: int = 10_000  # rows/host above which to salt-split
     pacing_enabled: bool = False  # real sleeps in the fetch stage (off in tests)

@@ -140,18 +140,37 @@ def _blocked_map(counter=None):
     return fn
 
 
-def _parse_map(check_payload: bool):
+def _parse_map(check_payload: bool, blocked_counter=None):
     """fetch+parse stage: joined (frontier ⋈ pages [⋈ images]) rows ->
     full nested Result rows. Pure function of the row — safe to
-    re-execute on task retry (idempotent wave semantics)."""
+    re-execute on task retry (idempotent wave semantics).
+
+    Single-pass mode (input carries ``_allowed`` from the robots gate,
+    pages side LEFT-joined): robots-blocked rows emit blocked results
+    inline and allowed rows with no page row are dropped (fetch error,
+    crawler.go:256-259) — one job evaluates gate+fetch+parse+blocked,
+    instead of the gate running once per filter branch."""
 
     def fn(batches):
         from . import imagecodec
 
         for pdf in batches:
             rows = []
+            n_blocked = 0
             has_img = "image_bytes" in pdf.columns
+            has_gate = "_allowed" in pdf.columns
             for r in pdf.to_dict("records"):
+                if has_gate:
+                    if not r["_allowed"]:
+                        res = oracle.blocked_result(r["fetch_url"], int(r["depth"]))
+                        res["Priority"] = int(r["priority"])
+                        res["UrlKey"] = r["url_key"]
+                        res["Payload"] = None
+                        rows.append(res)
+                        n_blocked += 1
+                        continue
+                    if r["url"] is None:  # LEFT-join miss: no page -> fetch error, silent drop
+                        continue
                 hdrs = r["headers"]  # Arrow list column -> numpy array or None
                 if hdrs is None or isinstance(hdrs, float):
                     hdrs = []
@@ -193,6 +212,8 @@ def _parse_map(check_payload: bool):
                     }
                 res["Payload"] = payload
                 rows.append(res)
+            if blocked_counter is not None and n_blocked:
+                blocked_counter.add(n_blocked)
             yield _rows_to_pdf(rows)
 
     return fn
@@ -289,17 +310,26 @@ class SparkCrawler:
         defer = ranked.filter("NOT _take").drop("_host_n", "_salt", "_rk", "_take")
         return take, defer
 
-    def _fetch_join(self, gated_allowed: DataFrame) -> DataFrame:
+    def _fetch_join(self, gated_allowed: DataFrame, single_pass: bool = False) -> DataFrame:
         """The fetch interface: frontier rows joined against the pages
         corpus (the sandbox's network). Config ``Header`` — the extra
         request headers the reference sends on every fetch
         (crawler.go:298-310) — rides along as a ``_req_headers``
         passthrough column: the pages-join fetch can't use it, but a
         production HTTP fetcher swapped in at this boundary receives
-        the pairs per-row."""
-        joined = gated_allowed.select(
-            "url_key", "fetch_url", "depth", "priority", "fetch_key", "host"
-        ).join(self.pages, F.col("fetch_key") == self.pages["url"], "inner")
+        the pairs per-row.
+
+        ``single_pass``: input still carries the robots ``_allowed``
+        flag; the join goes LEFT so blocked rows (and fetch errors)
+        survive to the parse map, which emits blocked results inline."""
+        cols = ["url_key", "fetch_url", "depth", "priority", "fetch_key", "host"]
+        if single_pass:
+            cols.append("_allowed")
+        joined = gated_allowed.select(*cols).join(
+            self.pages,
+            F.col("fetch_key") == self.pages["url"],
+            "left" if single_pass else "inner",
+        )
         if self.cfg.Header:
             joined = joined.withColumn(
                 "_req_headers",
@@ -312,14 +342,25 @@ class SparkCrawler:
             )
         return joined
 
-    def _fetch_and_parse(self, gated_allowed: DataFrame) -> DataFrame:
-        joined = self._fetch_join(gated_allowed)
+    def _fetch_and_parse(
+        self,
+        gated_allowed: DataFrame,
+        rows_hint: int | None = None,
+        single_pass: bool = False,
+        blocked_counter=None,
+    ) -> DataFrame:
+        joined = self._fetch_join(gated_allowed, single_pass=single_pass)
         # AQE coalesces the join output by BYTE size (~50 MB of html
         # looks "small" -> 1-2 partitions), which would serialize the
         # CPU-heavy parse UDF onto 1-2 cores. Parse cost scales with
         # ROWS, not bytes — force row-parallelism before the Python
         # stage (cheap shuffle vs single-threaded parse).
+        # rows_hint (the frontier row count, free from the manifest)
+        # caps task count for small waves — no 96-task fan-out for a
+        # 50-row seed wave; a no-op at scale where rows >> partitions.
         n_parse = self.cfg.parse_partitions or self.cfg.shuffle_partitions
+        if rows_hint is not None:
+            n_parse = max(1, min(n_parse, rows_hint))
         joined = joined.repartition(n_parse, "url_key")
         if self.cfg.pacing_enabled and self.cfg.wait_seconds > 0:
             wait = self.cfg.wait_seconds
@@ -332,7 +373,9 @@ class SparkCrawler:
                 return pdf
 
             joined = joined.groupBy("host").applyInPandas(pace, joined.schema)
-        return joined.mapInPandas(_parse_map(self.check_payload), RESULT_FULL_SCHEMA)
+        return joined.mapInPandas(
+            _parse_map(self.check_payload, blocked_counter), RESULT_FULL_SCHEMA
+        )
 
     def _candidates(self, parsed_results: DataFrame) -> DataFrame:
         r = parsed_results
@@ -422,12 +465,12 @@ class SparkCrawler:
             resume_parts = store.parts(d) or None
         else:
             frontier = self._initial_frontier()
-            store.stage("frontier", frontier, 0, manifest_wave=-1)
+            info = store.stage("frontier", frontier, 0, manifest_wave=-1)
             # NOTE: there is no separate `seen` table — the frontier
             # slices ARE the seen-set (every URL enqueued at any depth
             # was marked seen at enqueue time, crawler.go:143-145 +
             # 240-247), so seen(d) = url_keys of frontier waves 0..d.
-            if cfg.bloom_prefilter:
+            if cfg.bloom_prefilter and info["rows"] >= cfg.bloom_min_seen:
                 bits = bloomfilter.mark(
                     frontier.select("url_key"),
                     bloomfilter.empty_bits_df(self.spark, self.bloom_cfg),
@@ -482,13 +525,23 @@ class SparkCrawler:
         )
 
         blocked_acc = spark.sparkContext.accumulator(0)
-        blocked = gated.filter(~F.col("_allowed")).select(
-            "url_key", "fetch_url", "depth", "priority"
-        )
-        blocked_results = blocked.mapInPandas(_blocked_map(blocked_acc), RESULT_FULL_SCHEMA)
-        allowed = gated.filter(F.col("_allowed"))
-
         budget = cfg.per_host_budget
+        # single-pass mode (no politeness budget, no mid-wave resume):
+        # gate+fetch+parse+blocked run as ONE job over the gated frame
+        # (pages LEFT-joined, parse map emits blocked rows inline) —
+        # otherwise the gate join + robots UDF are re-evaluated once
+        # per filter branch and the union doubles the stage's tasks
+        single_pass = budget is None and resume_parts is None
+        if single_pass:
+            allowed = gated
+        else:
+            blocked = gated.filter(~F.col("_allowed")).select(
+                "url_key", "fetch_url", "depth", "priority"
+            )
+            blocked_results = blocked.mapInPandas(
+                _blocked_map(blocked_acc), RESULT_FULL_SCHEMA
+            )
+            allowed = gated.filter(F.col("_allowed"))
         parsed_slices = []
         remaining = allowed
         subwave = 0
@@ -534,10 +587,17 @@ class SparkCrawler:
                 take, remaining = self._apply_budget(remaining, budget)
             else:
                 take, remaining = remaining, None
-            parsed = self._fetch_and_parse(take)
+            parsed = self._fetch_and_parse(
+                take,
+                rows_hint=frontier_rows,
+                single_pass=single_pass,
+                blocked_counter=blocked_acc if single_pass else None,
+            )
             info = store.stage(
                 f"results_sub{subwave}" if subwave else "results",
-                parsed.unionByName(blocked_results) if subwave == 0 else parsed,
+                parsed
+                if single_pass or subwave
+                else parsed.unionByName(blocked_results),
                 d,
             )
             parsed_slices.append(info)
@@ -580,7 +640,15 @@ class SparkCrawler:
             # seen = frontier slices committed so far (manifests -1..d-1
             # cover frontier depths 0..d) — no separate seen table
             seen = store.read("frontier", up_to=d - 1)
-            bits = self._latest_bloom() if cfg.bloom_prefilter else None
+            # probe the bloom only once it's been activated (bits then
+            # cover the whole seen-set); before activation the plain
+            # anti-join wins — the prefilter's probe/mark jobs only pay
+            # for themselves at large seen sizes (cfg.bloom_min_seen)
+            bits = (
+                self._latest_bloom()
+                if cfg.bloom_prefilter and self._bloom_active()
+                else None
+            )
             new = self._dedup_against_seen(cand, seen, bits)
             nxt = new.select(
                 "url_key",
@@ -597,13 +665,48 @@ class SparkCrawler:
                 cand.unpersist()
             lap("t_frontier")
             if cfg.bloom_prefilter:
-                new_urls = spark.read.parquet(*info["files"]).select("url_key")
-                bits2 = bloomfilter.mark(new_urls, self._latest_bloom(), "url_key", self.bloom_cfg)
-                store.stage("bloom", bits2, d + 1, manifest_wave=d)
-                lap("t_bloom")
+                if bits is not None:
+                    # active: fold only the delta into the bits
+                    new_urls = spark.read.parquet(*info["files"]).select("url_key")
+                    bits2 = bloomfilter.mark(
+                        new_urls, self._latest_bloom(), "url_key", self.bloom_cfg
+                    )
+                    store.stage("bloom", bits2, d + 1, manifest_wave=d)
+                    lap("t_bloom")
+                elif self._frontier_rows_committed() + info["rows"] >= cfg.bloom_min_seen:
+                    # activation: one-time backfill of the ENTIRE
+                    # seen-set into fresh bits (seen slices + the wave
+                    # just staged), so every later probe is sound
+                    new_urls = spark.read.parquet(*info["files"]).select("url_key")
+                    all_urls = (
+                        new_urls
+                        if seen is None
+                        else seen.select("url_key").unionByName(new_urls)
+                    )
+                    bits2 = bloomfilter.mark(
+                        all_urls,
+                        bloomfilter.empty_bits_df(spark, self.bloom_cfg),
+                        "url_key",
+                        self.bloom_cfg,
+                    )
+                    store.stage("bloom", bits2, d + 1, manifest_wave=d)
+                    lap("t_bloom")
             metrics["enqueued"] = info["rows"]
         metrics.update(phase_t)
         return metrics
+
+    def _bloom_active(self) -> bool:
+        """True once a bloom slice has been committed — i.e. the bits
+        cover the full seen-set and probing is sound."""
+        return any("bloom" in m["tables"] for m in self.store._manifests())
+
+    def _frontier_rows_committed(self) -> int:
+        """Total seen-set size, free from manifest metadata."""
+        return sum(
+            m["tables"]["frontier"]["rows"]
+            for m in self.store._manifests()
+            if "frontier" in m["tables"]
+        )
 
     def _latest_bloom(self) -> DataFrame:
         # bloom bits are full-state per wave: read only the newest slice

@@ -372,26 +372,37 @@ def test_results_hide_lineage_columns(nice):
 
 
 def test_bloom_prefilter_correctness(spark, tmp_path):
-    """Bloom on vs off: identical emitted rows and seen-set (the
-    prefilter is a shuffle optimization, never a correctness input)."""
+    """Bloom on vs off vs lazily-activated: identical emitted rows and
+    seen-set (the prefilter is a shuffle optimization, never a
+    correctness input). 'lazy' crosses bloom_min_seen mid-crawl, so it
+    exercises the one-time backfill activation path."""
     pages_pdf, robots_pdf, seeds = testkit.nice_site(branching=4, max_id_len=3)
     outs = {}
-    for bloom in (True, False):
+    # min_seen=0 -> bloom from wave 0; 3 -> activates after wave 0
+    # (1 seed, then 1+4=5 seen); huge -> never activates
+    for mode, bloom, min_seen in (
+        ("on", True, 0), ("lazy", True, 3), ("off", False, 0)
+    ):
         cfg = CrawlConfig(From=seeds, MaxDepth=2, RespectNofollow=True,
                           bloom_prefilter=bloom, bloom_shards=4,
+                          bloom_min_seen=min_seen,
                           bloom_bits_per_shard=1 << 12)  # tiny shards -> real FPs
         c = SparkCrawler(
             spark, cfg,
             testkit.pages_to_spark(spark, pages_pdf),
             testkit.robots_to_spark(spark, robots_pdf),
-            workdir=str(tmp_path / f"bloom-{bloom}"),
+            workdir=str(tmp_path / f"bloom-{mode}"),
         )
         c.run()
-        outs[bloom] = (
+        if mode == "on":
+            assert c._bloom_active(), "min_seen=0 must mark bits at seed time"
+        if mode == "lazy":
+            assert c._bloom_active(), "backfill activation must have fired"
+        outs[mode] = (
             sorted(tuple(r) for r in c.results().select("Depth", "Priority", "UrlKey").collect()),
             {r["url_key"] for r in c.seen().collect()},
         )
-    assert outs[True] == outs[False]
+    assert outs["on"] == outs["off"] == outs["lazy"]
 
 
 def test_pacing_enabled_smoke(spark, tmp_path):
