@@ -197,10 +197,13 @@ def test_qjpg_lossy_psnr_above_40():
 def test_phash_deterministic_and_discriminative():
     a = imagecodec.phash64(imagecodec.synth_image("img-0001", 32, 32))
     b = imagecodec.phash64(imagecodec.synth_image("img-0001", 32, 32))
-    c = imagecodec.phash64(imagecodec.synth_image("img-0999", 32, 32))
+    # img-0002 is in a different synth pattern class (checker vs
+    # radial) — cross-pattern images must hash far apart; same-pattern
+    # ids may legitimately collide (noise rarely flips block means)
+    c = imagecodec.phash64(imagecodec.synth_image("img-0002", 32, 32))
     assert a == b
     assert isinstance(a, int) and -(2**63) <= a < 2**63
-    assert a != c
+    assert bin((a ^ c) & ((1 << 64) - 1)).count("1") > 7
 
 
 def test_pil_formats_are_stubbed():
