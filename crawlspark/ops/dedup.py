@@ -68,36 +68,31 @@ def minhash_signatures(docs: DataFrame, n_perm: int = 16, shingle_words: int = 2
     """MinHash signature: perm i's hash of shingle s is
     md5(s || ':' || i); the min over shingles of the 32-hex string is
     the signature component (lexicographic min of fixed-width hex ==
-    numeric min). Pure column expressions -> no shuffle."""
-    # Relational shape instead of one giant nested expression: explode
-    # shingles to rows, fan out the permutations, min per (doc, perm)
-    # (map-side partial agg collapses before the shuffle), then gather
-    # the signature array. Linear work, no Catalyst expression blowup —
-    # and exactly how it distributes at 10^9 docs.
+    numeric min).
+
+    Relational shape: explode shingles to ONE row per (doc, gram) and
+    compute the n_perm hashes as n_perm COLUMNS aggregated by n_perm
+    min()s in a single groupBy — one shuffle whose input is 1x the
+    gram count (not n_perm x as a perm-explode would be, and no giant
+    nested Catalyst expression as a transform-over-arrays would be;
+    both prior shapes measured slower — see PLANS.md). Map-side
+    partial agg collapses per-partition duplicates before the wire.
+    This is exactly how it distributes at 10^9 docs."""
     grams = docs.select(
         "doc_id", F.explode(F.array_distinct(_shingles(shingle_words))).alias("g")
     )
     hashed = grams.select(
         "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("perm"),
-                        _md5(F.concat_ws(":", F.col("g"), F.lit(str(i)))).alias("h"),
-                    )
-                    for i in range(n_perm)
-                ]
-            )
-        ).alias("ph"),
+        *[
+            _md5(F.concat_ws(":", F.col("g"), F.lit(str(i)))).alias(f"h{i}")
+            for i in range(n_perm)
+        ],
     )
-    mins = hashed.groupBy("doc_id", F.col("ph.perm").alias("perm")).agg(
-        F.min("ph.h").alias("h")
+    mins = hashed.groupBy("doc_id").agg(
+        *[F.min(f"h{i}").alias(f"h{i}") for i in range(n_perm)]
     )
-    return mins.groupBy("doc_id").agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("perm", "h"))), lambda s: s["h"]
-        ).alias("sig")
+    return mins.select(
+        "doc_id", F.array(*[F.col(f"h{i}") for i in range(n_perm)]).alias("sig")
     )
 
 

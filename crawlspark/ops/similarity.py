@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-__all__ = ["cosine_topk", "srp_ann_topk", "srp_buckets"]
+__all__ = ["cosine_topk", "srp_ann_topk", "srp_buckets", "ivf_assign", "ivf_topk"]
 
 
 def _dot(x, y):
@@ -45,6 +45,83 @@ def cosine_topk(emb: DataFrame, k: int = 5, n_queries: int = 10) -> DataFrame:
     )
     scored = (
         q.crossJoin(e)
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            F.col("vec_id").alias("n_id"),
+            F.round(_cos(F.col("qv"), F.col("v")), 4).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), "n_id")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .orderBy("q_id", "rnk")
+    )
+
+
+def _centroid_scores(emb: DataFrame, centroids: DataFrame) -> DataFrame:
+    """(vec_id, centroid_id, c_cos): cosine of every vector against
+    every centroid. Centroid table is tiny and broadcast, so the
+    fan-out join never shuffles the vector side; c_cos is rounded to
+    6 decimals so the argmin/argsort is robust to sub-ulp summation
+    differences across engines (ties broken by centroid_id)."""
+    e = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    c = F.broadcast(
+        centroids.select(
+            "centroid_id", F.col("center").cast("array<double>").alias("cv")
+        )
+    )
+    return e.crossJoin(c).select(
+        "vec_id",
+        "centroid_id",
+        F.round(_cos(F.col("v"), F.col("cv")), 6).alias("c_cos"),
+    )
+
+
+def ivf_assign(emb: DataFrame, centroids: DataFrame) -> DataFrame:
+    """IVF coarse quantization: each vector -> its nearest centroid
+    (the inverted-list bucket). Centroids are a committed k-means
+    fixture (fixtures/centroids.parquet, scripts/make_fixtures.py) so
+    the DuckDB oracle assigns identically. The per-vector argmax
+    collapses map-side (fan-out rows stay in their input partition),
+    so the reduce shuffle carries ~one row per vector — the standard
+    IVF assign cost (n·k dot products), no all-pairs anywhere."""
+    scored = _centroid_scores(emb, centroids)
+    return scored.groupBy("vec_id").agg(
+        F.min(F.struct((-F.col("c_cos")).alias("neg"), F.col("centroid_id").alias("cid")))
+        .getField("cid")
+        .alias("bucket")
+    )
+
+
+def ivf_topk(
+    emb: DataFrame,
+    centroids: DataFrame,
+    k: int = 5,
+    n_queries: int = 10,
+    n_probe: int = 2,
+) -> DataFrame:
+    """IVF ANN: candidates live in their nearest-centroid bucket;
+    each query probes its ``n_probe`` nearest buckets and re-ranks
+    the union by exact cosine. The scale path for embedding
+    similarity at 10^9 vectors: per query only ~n_probe/k_centroids
+    of the corpus is scored, and the bucket join shuffles on a
+    small-cardinality key whose skew is bounded by k-means balance."""
+    e = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    cand = e.join(ivf_assign(emb, centroids), "vec_id")
+    qscores = _centroid_scores(emb.filter(F.col("vec_id") < n_queries), centroids)
+    wq = Window.partitionBy("vec_id").orderBy(F.desc("c_cos"), "centroid_id")
+    probes = (
+        qscores.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= n_probe)
+        .select(F.col("vec_id").alias("q_id"), F.col("centroid_id").alias("bucket"))
+    )
+    q = probes.join(
+        e.select(F.col("vec_id").alias("q_id"), F.col("v").alias("qv")), "q_id"
+    )
+    scored = (
+        q.join(cand, "bucket")
         .filter(F.col("vec_id") != F.col("q_id"))
         .select(
             "q_id",

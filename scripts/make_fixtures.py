@@ -137,9 +137,50 @@ def main():
     print(f"image expected fixtures: {stats_t.num_rows} stats / {feat_t.num_rows} "
           f"features / {resize_t.num_rows} resize rows")
 
+    # IVF coarse-quantizer centroids for ops/similarity.ivf_topk —
+    # deterministic numpy k-means (seed 42) over the sf0.001
+    # embeddings; committed so Spark and the DuckDB oracle assign
+    # identical buckets. (Any fixed centroid set is CORRECT for IVF —
+    # training only affects recall/balance — so these centroids work
+    # at every sf.)
+    import numpy as np
+
+    emb_path = "/root/testdata/sf0.001/embeddings.parquet"
+    if os.path.exists(emb_path):
+        vecs = np.array(
+            [list(v) for v in pq.read_table(emb_path).column("embedding").to_pylist()],
+            dtype=np.float64,
+        )
+        rng_c = np.random.RandomState(42)
+        k_cent = 8
+        centers = vecs[rng_c.choice(len(vecs), k_cent, replace=False)].copy()
+        for _ in range(15):
+            # cosine k-means: assign by max cosine, recenter by mean
+            vn = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+            cn = centers / np.linalg.norm(centers, axis=1, keepdims=True)
+            assign = (vn @ cn.T).argmax(axis=1)
+            for j in range(k_cent):
+                members = vecs[assign == j]
+                if len(members):
+                    centers[j] = members.mean(axis=0)
+        cent_t = pa.Table.from_pylist(
+            [
+                {"centroid_id": j, "center": [float(x) for x in centers[j]]}
+                for j in range(k_cent)
+            ],
+            schema=pa.schema(
+                [("centroid_id", pa.int32()), ("center", pa.list_(pa.float64()))]
+            ),
+        )
+        pq.write_table(cent_t, os.path.join(out_dir, "centroids.parquet"),
+                       compression="snappy")
+        sizes = np.bincount(assign, minlength=k_cent).tolist()
+        print(f"centroids.parquet: {k_cent} centroids, bucket sizes {sizes}")
+    else:
+        print("skip centroids (no testdata embeddings present)")
+
     # sign-random-projection hyperplanes for ops/similarity.srp_ann —
     # committed so Spark and the DuckDB oracle share identical planes
-    import numpy as np
 
     rng = np.random.RandomState(42)
     n_planes, n_dims = 6, 64

@@ -95,6 +95,21 @@ def test_simhash_neardup_self_consistency(spark):
     assert (1, 3) not in pairs and (2, 3) not in pairs
 
 
+def test_ivf_topk_recall_beats_random_probing(spark):
+    """IVF with the committed k-means centroids: probing 2 of 8
+    buckets must recall well above the 2/8=0.25 random-bucket
+    baseline — i.e. the coarse quantizer actually clusters similar
+    vectors (measured 0.50 on this fixture)."""
+    from crawlspark.ops import similarity
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cents = spark.read.parquet("/root/repo/fixtures/centroids.parquet")
+    exact = {(r.q_id, r.n_id) for r in similarity.cosine_topk(emb).collect()}
+    approx = {(r.q_id, r.n_id) for r in similarity.ivf_topk(emb, cents).collect()}
+    assert len(approx) == len(exact) == 50
+    assert len(approx & exact) / len(exact) >= 0.35
+
+
 def test_dup_clusters_transitivity(spark):
     """a~b and b~c (but a!~c directly) must share one cluster."""
     import pandas as pd
