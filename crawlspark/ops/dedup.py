@@ -29,7 +29,8 @@ from pyspark.sql import types as T
 
 __all__ = [
     "exact_dedup", "minhash_signatures", "minhash_lsh_pairs",
-    "ngram_jaccard_pairs", "simhash", "embedding_neardup",
+    "ngram_jaccard_pairs", "simhash", "simhash_neardup",
+    "embedding_neardup", "dup_labels", "dup_clusters", "dedup_materialize",
 ]
 
 _WS = r"\s+"
@@ -184,15 +185,15 @@ def ngram_jaccard_pairs(
     )
 
 
-def dup_clusters(docs: DataFrame, n_perm: int = 16, bands: int = 4,
-                 shingle_words: int = 2, max_iters: int = 20) -> DataFrame:
-    """Connected components over the minhash-LSH candidate-pair graph:
-    each near-dup cluster labeled by its min doc_id (the canonical
-    'keep' doc). Iterative min-label propagation — one hash-join +
-    min-agg per round, O(diameter) rounds, the standard large-scale
-    CC shape (driver loop; each round persists and breaks lineage).
-    Deterministic fixpoint -> DuckDB-oracle-checkable via a recursive
-    CTE at test scale."""
+def dup_labels(docs: DataFrame, n_perm: int = 16, bands: int = 4,
+               shingle_words: int = 2, max_iters: int = 20) -> DataFrame:
+    """(doc_id, label) for every doc that appears in the minhash-LSH
+    near-dup graph, where label = the component's min doc_id (the
+    canonical 'keep' doc). Connected components via iterative
+    min-label propagation — one hash-join + min-agg per round,
+    O(diameter) rounds, the standard large-scale CC shape (driver
+    loop; each round persists and breaks lineage). Deterministic
+    fixpoint -> DuckDB-oracle-checkable via a recursive CTE."""
     pairs = minhash_lsh_pairs(docs, n_perm, bands, shingle_words).select("doc_a", "doc_b")
     edges = pairs.unionByName(
         pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
@@ -228,7 +229,15 @@ def dup_clusters(docs: DataFrame, n_perm: int = 16, bands: int = 4,
         labels = new_labels
         if changed == 0:
             break
-    out = (
+    return labels
+
+
+def dup_clusters(docs: DataFrame, n_perm: int = 16, bands: int = 4,
+                 shingle_words: int = 2, max_iters: int = 20) -> DataFrame:
+    """Near-dup clusters (one row per component) over the LSH graph —
+    see dup_labels for the CC machinery."""
+    labels = dup_labels(docs, n_perm, bands, shingle_words, max_iters)
+    return (
         labels.groupBy(F.col("label").alias("cluster_id"))
         .agg(
             F.count("*").alias("n_docs"),
@@ -238,7 +247,24 @@ def dup_clusters(docs: DataFrame, n_perm: int = 16, bands: int = 4,
         )
         .orderBy("cluster_id")
     )
-    return out
+
+
+def dedup_materialize(docs: DataFrame, n_perm: int = 16, bands: int = 4,
+                      shingle_words: int = 2) -> DataFrame:
+    """THE dedup pipeline output: the surviving corpus after dropping
+    every near-dup cluster member except its canonical keeper (min
+    doc_id). Exact copies share all shingles -> identical signatures
+    -> same cluster, so exact dedup is subsumed. Survivors = docs
+    anti-joined against the non-keeper set — one extra hash join over
+    dup_labels, no full-corpus shuffle of text payloads (only ids
+    move)."""
+    labels = dup_labels(docs, n_perm, bands, shingle_words)
+    dropped = labels.filter(F.col("doc_id") != F.col("label")).select("doc_id")
+    return (
+        docs.join(dropped, "doc_id", "left_anti")
+        .select("doc_id", "source", F.length("text").alias("n_chars_calc"))
+        .orderBy("doc_id")
+    )
 
 
 def simhash(docs: DataFrame) -> DataFrame:

@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-__all__ = ["token_stats", "quality_score", "fingerprint", "langid"]
+__all__ = ["token_stats", "quality_score", "fingerprint", "langid", "pattern_stats"]
 
 _WS = r"\s+"
 
@@ -82,7 +82,22 @@ def fingerprint(docs: DataFrame, k: int = 4, shingle_words: int = 3) -> DataFram
     ).orderBy("doc_id")
 
 
-# --- language-ID: n-gram profile heuristic (pandas UDF, rows-only check) ---
+def pattern_stats(docs: DataFrame) -> DataFrame:
+    """PII-ish pattern scan: per-doc counts of email-shaped tokens,
+    URLs and digit runs — the filter features a pretraining pipeline
+    uses to route documents to scrubbing. Patterns restricted to the
+    regex subset Java (Spark) and RE2 (DuckDB) treat identically, so
+    the oracle recomputes them exactly; narrow column expressions, no
+    shuffle."""
+    return docs.select(
+        "doc_id",
+        F.regexp_count("text", F.lit(r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+")).alias("n_emails"),
+        F.regexp_count("text", F.lit(r"https?://[^ \t\n]+")).alias("n_urls"),
+        F.regexp_count("text", F.lit(r"[0-9]+")).alias("n_digit_runs"),
+    ).orderBy("doc_id")
+
+
+# --- language-ID: n-gram profile heuristic (pandas UDF, oracle via SQL recompute) ---
 
 _PROFILES = {
     "en": [" th", "the", "he ", " an", "and", "nd ", " of", "of ", "ing", " to"],
