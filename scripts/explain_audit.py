@@ -33,8 +33,20 @@ def main():
         ("noindex: nested-column pruning", analysis.noindex(crawl)),
         ("duplicate_title: broadcast self-join + pushdown", analysis.duplicate_title(crawl)),
         ("sf_emulation: windows + HOFs + left join", analysis.sf_emulation(crawl)),
-        ("minhash signatures: explode->partial agg", dedup.minhash_signatures(docs)),
+        ("minhash signatures: 1x-gram shuffle, n_perm min columns", dedup.minhash_signatures(docs)),
         ("srp buckets: planes broadcast join-aggregate", similarity.srp_buckets(emb, planes)),
+        (
+            "ivf topk: broadcast centroid fan-out, bucket join (no cartesian)",
+            similarity.ivf_topk(
+                emb, spark.read.parquet(os.path.join(REPO, "fixtures", "centroids.parquet"))
+            ),
+        ),
+        (
+            "phash neardup: banded blocking (no CartesianProduct)",
+            __import__("crawlspark.ops.multimodal", fromlist=["multimodal"]).phash_neardup(
+                spark.read.parquet(os.path.join(REPO, "fixtures", "images.parquet"))
+            ),
+        ),
         (
             "tpch-style filter pushdown",
             spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
