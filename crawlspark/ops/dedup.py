@@ -229,7 +229,19 @@ def dup_labels(docs: DataFrame, n_perm: int = 16, bands: int = 4,
         labels = new_labels
         if changed == 0:
             break
-    return labels
+    # break lineage + release the loop's cached frames via a parquet
+    # spill (the engine's store-backed pattern — never a driver
+    # collect): a long-lived session (the driver runs every query in
+    # one SparkSession) should not accumulate per-call cache entries,
+    # and downstream consumers should not re-run the iterative joins
+    import os
+    import tempfile
+
+    out_path = os.path.join(tempfile.mkdtemp(prefix="crawlspark-cc-"), "labels")
+    labels.write.mode("overwrite").parquet(out_path)
+    edges.unpersist()
+    labels.unpersist()
+    return docs.sparkSession.read.parquet(out_path)
 
 
 def dup_clusters(docs: DataFrame, n_perm: int = 16, bands: int = 4,
