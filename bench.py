@@ -117,25 +117,44 @@ def bench_crawl(spark) -> tuple[float, dict, float, dict]:
     return deep_secs, deep, wide_secs, wide
 
 
+HEADLINE = [
+    "crawl_sf_emulation",
+    "crawl_inlinks",
+    "tpch_q1_pricing",
+    "topk_orders_per_customer",
+    "docs_quality",
+    "docs_minhash_lsh",
+    "docs_exact_dedup",
+    "emb_cosine_topk",
+    "emb_srp_ann_topk",
+    "emb_ivf_topk",
+    "images_phash_neardup",
+]
+
+
 def bench_queries(spark) -> dict[str, float]:
     import __spark_entry__ as entry
 
+    # drop any cached/persisted frames the crawl section left behind so
+    # query timings measure the queries, not leftover memory pressure
+    spark.catalog.clearCache()
     qs = entry.queries()
-    headline = [
-        "crawl_sf_emulation",
-        "crawl_inlinks",
-        "tpch_q1_pricing",
-        "topk_orders_per_customer",
-        "docs_quality",
-        "docs_minhash_lsh",
-        "docs_exact_dedup",
-        "emb_cosine_topk",
-        "emb_srp_ann_topk",
-        "emb_ivf_topk",
-        "images_phash_neardup",
-    ]
+    # warm each query SHAPE once at the tiny sf (untimed): whole-stage
+    # codegen compiles the generated code on first execution. Most
+    # shapes transfer across sf; minhash's does NOT (its plan variant
+    # is size-dependent), so its timed number still carries ~6 s of
+    # one-time Janino compile on top of ~0.8-1.2 s steady-state
+    # execution (measured; see BENCH.md) — a constant, not a scale
+    # term.
+    warm_dir = "/root/testdata/sf0.001"
+    if os.path.isdir(warm_dir) and os.path.realpath(warm_dir) != os.path.realpath(SF_DIR):
+        for name in HEADLINE:
+            try:
+                qs[name](spark, warm_dir).count()
+            except Exception:
+                pass
     out = {}
-    for name in headline:
+    for name in HEADLINE:
         t0 = time.time()
         n = qs[name](spark, SF_DIR).count()
         out[name] = round(time.time() - t0, 3)
@@ -148,6 +167,14 @@ def main():
     spark.sparkContext.setLogLevel("ERROR")
 
     deep_secs, deep, wide_secs, wide = bench_crawl(spark)
+    # fresh JVM for the query section: a 400k-URL crawl leaves the
+    # executor heap GC-pressured, which measured a ~4x slowdown on the
+    # heaviest pure-JVM query (minhash 1.1 s fresh vs 4.3 s after a
+    # drain in the same session) — that's harness aftermath, not query
+    # cost, so the two workloads get separate sessions
+    spark.stop()
+    spark = build_spark()
+    spark.sparkContext.setLogLevel("ERROR")
     qtimes = bench_queries(spark)
 
     query_secs = {k: v for k, v in qtimes.items() if not k.endswith("_rows")}
