@@ -35,7 +35,7 @@ import base64
 import hashlib
 from html.parser import HTMLParser
 
-__all__ = ["extract_html", "sha512_b64"]
+__all__ = ["extract_html", "sha512_b64", "parse_tree", "query", "query_all", "text"]
 
 _VOID = {
     "area", "base", "br", "col", "embed", "hr", "img", "input",
@@ -114,6 +114,41 @@ def _first(nodes, tag, attrs=None):
             continue
         return n
     return None
+
+
+def parse_tree(html_str: str) -> _Node:
+    """Parse HTML to the internal element tree (root node)."""
+    tb = _TreeBuilder()
+    tb.feed(html_str)
+    tb.close()
+    return tb.root
+
+
+def query_all(tag: str, attrs: dict | None, root: _Node) -> list[_Node]:
+    """All elements named ``tag`` whose attributes contain every
+    (k, v) in ``attrs``, in pre-order document order — the reference's
+    scrape.QueryAll (scrape/scrape.go:14-21)."""
+    out = []
+    for n in _walk(root):
+        if n.tag != tag:
+            continue
+        if attrs and any(n.attrs.get(k) != v for k, v in attrs.items()):
+            continue
+        out.append(n)
+    return out
+
+
+def query(tag: str, attrs: dict | None, root: _Node) -> _Node | None:
+    """First match of query_all, or None — scrape.Query
+    (scrape/scrape.go:23-33)."""
+    found = query_all(tag, attrs, root)
+    return found[0] if found else None
+
+
+def text(node: _Node | None) -> str:
+    """Concatenated subtree text, no separators or trimming —
+    scrape.Text (scrape/scrape.go:100-117)."""
+    return _text(node)
 
 
 def extract_html(html_str: str) -> dict:

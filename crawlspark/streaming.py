@@ -84,6 +84,7 @@ def stateful_host_counter(
     results_glob: str,
     query_name: str = "host_counter",
     max_files_per_trigger: int = 1,
+    schema=None,
 ):
     """Custom stateful operator (applyInPandasWithState): per-host
     cumulative fetched/blocked counters carried across micro-batches —
@@ -94,7 +95,7 @@ def stateful_host_counter(
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     stream = (
-        spark.readStream.schema(RESULT_FULL_SCHEMA)
+        spark.readStream.schema(schema or RESULT_FULL_SCHEMA)
         .option("maxFilesPerTrigger", str(max_files_per_trigger))
         .option("pathGlobFilter", "*.parquet")
         .parquet(results_glob)

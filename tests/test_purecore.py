@@ -31,6 +31,25 @@ SIMPLE = """<!DOCTYPE html>
 </body></html>"""
 
 
+def test_scrape_query_api_parity():
+    """The reference's general scrape API (Query/QueryAll/Text,
+    scrape/scrape.go + scrape_test.go TestQuery): attribute-filtered
+    first-match with subtree text."""
+    root = htmlex.parse_tree(
+        '<!doctype html><html><body>'
+        '<h1 id="best-h1">Best title ever.</h1>'
+        "<p>Don't match this!</p>"
+        '<p name="best-paragraph">Match this.</p>'
+        "<h1>A weaker title.</h1></body></html>"
+    )
+    n = htmlex.query("p", {"name": "best-paragraph"}, root)
+    assert htmlex.text(n) == "Match this."
+    assert htmlex.query("p", None, root) is not None
+    assert len(htmlex.query_all("h1", None, root)) == 2
+    assert htmlex.query("h1", {"id": "best-h1"}, root).attrs["id"] == "best-h1"
+    assert htmlex.query("h2", None, root) is None
+
+
 def test_extract_first_match_semantics():
     ex = htmlex.extract_html(SIMPLE)
     # Query = QueryAll[0] (scrape.go:26-33)
