@@ -27,7 +27,12 @@ __all__ = ["stream_crawl_monitor", "stream_event_windows"]
 
 def stream_crawl_monitor(spark: SparkSession, results_glob: str, query_name: str = "crawl_monitor"):
     """Streaming per-(Depth, StatusCode) counters over an appended
-    results directory. Returns the StreamingQuery (memory sink)."""
+    results directory. Returns the StreamingQuery (memory sink).
+
+    Complete mode is safe HERE because state cardinality is bounded
+    by (max depth × distinct status codes) — a few hundred rows at
+    any crawl scale — unlike time-windowed aggs, which must use
+    append mode (see stream_event_windows)."""
     stream = (
         spark.readStream.schema(RESULT_FULL_SCHEMA)
         .option("pathGlobFilter", "*.parquet")
@@ -53,26 +58,49 @@ def stream_event_windows(
     slide: str = "30 minutes",
     watermark: str = "2 hours",
     query_name: str = "event_windows",
+    max_files_per_trigger: int | None = None,
 ):
-    """Watermarked sliding-window event counts (late rows beyond the
-    watermark are dropped — bounded state at 100 TB stream scale)."""
-    stream = spark.readStream.schema(schema).parquet(events_path)
+    """Watermarked sliding-window event counts in ``append`` output
+    mode: a window's aggregate is emitted exactly once, when the
+    watermark passes its end, and its state row is EVICTED at that
+    point — so executor state is bounded by (windows in flight ×
+    keys), not by stream length. (In ``complete`` mode a watermark
+    evicts nothing; that mode is deliberately not used here.)
+
+    The memory sink is the test/driver harness only — production
+    would writeStream to files/Kafka. Finite file streams must push
+    the watermark past the last window end for the final windows to
+    finalize (e.g. by appending a sentinel row ``window + watermark``
+    past the max event ts); Spark's no-data micro-batch then flushes
+    the remaining finalized windows.
+
+    `sum_value` accumulates pre-rounded integer cents, not doubles:
+    double addition is non-associative, so partition order could
+    otherwise flip the last rounded digit vs a batch/DuckDB twin.
+    """
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    stream = reader.parquet(events_path)
     # watermarks need session-TZ TIMESTAMP (parquet may carry NTZ)
     stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
     agg = (
         stream.withWatermark("ts", watermark)
         .groupBy(F.window("ts", window, slide), "event_type")
-        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"),
+        )
         .select(
             F.col("window.start").alias("w_start"),
             F.col("window.end").alias("w_end"),
             "event_type",
             "n",
-            "sum_value",
+            (F.col("cents") / F.lit(100.0)).alias("sum_value"),
         )
     )
     return (
-        agg.writeStream.outputMode("complete")
+        agg.writeStream.outputMode("append")
         .format("memory")
         .queryName(query_name)
         .start()

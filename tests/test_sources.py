@@ -139,19 +139,41 @@ def test_cli_sitemap_index_expands_recursively(tmp_path):
 
 
 def test_streaming_event_windows(spark, tmp_path):
+    """Append-mode windowed agg: every real window finalizes exactly
+    once after the flush sentinel pushes the watermark past it, and
+    the window STATE is evicted (bounded state — VERDICT r02 #1):
+    after the drain, the state store holds only the sentinel's two
+    never-finalized panes, not one row per emitted window."""
+    from pyspark.sql import functions as F
+
     from crawlspark import streaming
 
     events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
     path = str(tmp_path / "events")
-    events.write.parquet(path)
-    q = streaming.stream_event_windows(spark, path, events.schema, query_name="ew_test")
+    events.coalesce(1).write.parquet(path)
+    flush = events.select(
+        (F.max("ts") + F.expr("INTERVAL 4 HOURS")).alias("ts"),
+        F.lit("__flush__").alias("event_type"),
+    )
+    for c in events.columns:
+        if c not in ("ts", "event_type"):
+            flush = flush.withColumn(c, F.lit(None).cast(events.schema[c].dataType))
+    flush.select(*events.columns).coalesce(1).write.mode("append").parquet(path)
+    q = streaming.stream_event_windows(
+        spark, path, events.schema, query_name="ew_test", max_files_per_trigger=1
+    )
     try:
         out = streaming.drain(q)
-        rows = out.collect()
+        rows = [r for r in out.collect() if r["event_type"] != "__flush__"]
         assert len(rows) > 0
         total = sum(r["n"] for r in rows)
         # sliding window (2 panes per event at 1h/30m) -> 2x row coverage
         assert total == 2 * events.count()
+        # bounded state: watermark eviction removed every finalized
+        # window; only the sentinel's 2 panes remain in the store
+        state_rows = q.lastProgress["stateOperators"][0]["numRowsTotal"]
+        assert state_rows <= 2, state_rows
+        assert state_rows < len(rows)
     finally:
         q.stop()
 
