@@ -21,7 +21,6 @@ from __future__ import annotations
 import json
 import os
 import sys
-import tempfile
 
 # reference version string (version/version.go:8) — `crawl version`
 # prints it verbatim (crawl.go:72-74)
@@ -54,6 +53,7 @@ def _emit_ndjson(crawler) -> int:
 
 
 def _run_crawl(cfg, pages_path: str | None, robots_path: str | None) -> int:
+    from . import scratch
     from .engine import SparkCrawler
     from .testkit import matrix_site, pages_to_spark, robots_to_spark
 
@@ -67,7 +67,7 @@ def _run_crawl(cfg, pages_path: str | None, robots_path: str | None) -> int:
         pages_pdf, robots_pdf, _ = matrix_site()
         pages_df = pages_to_spark(spark, pages_pdf)
         robots_df = robots_to_spark(spark, robots_pdf)
-    crawler = SparkCrawler(spark, cfg, pages_df, robots_df, workdir=tempfile.mkdtemp())
+    crawler = SparkCrawler(spark, cfg, pages_df, robots_df, workdir=scratch.scratch_dir())
     crawler.run()
     return _emit_ndjson(crawler)
 
@@ -100,13 +100,31 @@ def main(argv: list[str] | None = None) -> int:
             return 1
         # recursive expansion (crawl.go:175-216): index files expand to
         # page URLs via a local-file fetcher; child loc paths resolve
-        # relative to the input file's directory (ADVICE r01)
+        # relative to the input file's directory (ADVICE r01). The
+        # fetcher anchors to the FIRST host it sees and explicitly
+        # skips (with a warning) cross-host or host-only child locs
+        # instead of silently reading them from the local tree
+        # (ADVICE r02).
         base_dir = os.path.dirname(os.path.abspath(src))
+        anchor = {"host": None}
 
         def _local_fetch(loc: str) -> bytes | None:
             p = loc
             if "://" in p:
-                p = p.split("://", 1)[1].split("/", 1)[-1]  # strip scheme+host
+                host, _, path = p.split("://", 1)[1].partition("/")
+                if anchor["host"] is None:
+                    anchor["host"] = host
+                if host != anchor["host"]:
+                    print(
+                        f"sitemap: skipping cross-host loc {loc!r}"
+                        f" (local fetcher anchored to {anchor['host']!r})",
+                        file=sys.stderr,
+                    )
+                    return None
+                if not path:
+                    print(f"sitemap: skipping host-only loc {loc!r}", file=sys.stderr)
+                    return None
+                p = path
             if not os.path.isabs(p):
                 p = os.path.join(base_dir, p)
             try:

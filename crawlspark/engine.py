@@ -32,7 +32,6 @@ from __future__ import annotations
 
 import math
 import os
-import tempfile
 import time
 
 import pandas as pd
@@ -41,7 +40,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.window import Window
 
-from . import bloomfilter, canon, oracle, robots
+from . import bloomfilter, canon, oracle, robots, scratch
 from .config import CrawlConfig
 from .schema import (
     FRONTIER_SCHEMA,
@@ -241,7 +240,7 @@ class SparkCrawler:
         self.cfg = cfg.validate()
         check_patterns(cfg.Include)
         check_patterns(cfg.Exclude)
-        self.workdir = workdir or tempfile.mkdtemp(prefix="crawlspark-")
+        self.workdir = workdir or scratch.scratch_dir(prefix="crawlspark-")
         self.store = SnapshotStore(spark, self.workdir)
         self.check_payload = check_payload
         self.bloom_cfg = bloomfilter.BloomConfig(
@@ -321,14 +320,19 @@ class SparkCrawler:
 
         ``single_pass``: input still carries the robots ``_allowed``
         flag; the join goes LEFT so blocked rows (and fetch errors)
-        survive to the parse map, which emits blocked results inline."""
+        survive to the parse map, which emits blocked results inline.
+        ``_allowed`` is part of the join condition (a residual on the
+        equi-join) so a blocked row NEVER matches a page row: on a
+        pages table with duplicate urls both paths emit exactly one
+        blocked Result, instead of single-pass emitting one per
+        matching page row (ADVICE r02)."""
         cols = ["url_key", "fetch_url", "depth", "priority", "fetch_key", "host"]
+        cond = F.col("fetch_key") == self.pages["url"]
         if single_pass:
             cols.append("_allowed")
+            cond = cond & F.col("_allowed")
         joined = gated_allowed.select(*cols).join(
-            self.pages,
-            F.col("fetch_key") == self.pages["url"],
-            "left" if single_pass else "inner",
+            self.pages, cond, "left" if single_pass else "inner"
         )
         if self.cfg.Header:
             joined = joined.withColumn(
@@ -553,6 +557,20 @@ class SparkCrawler:
             phase_t[name] = round(time.time() - t_phase, 2)
             t_phase = time.time()
 
+        def regate(pending_df: DataFrame) -> DataFrame:
+            """Rebuild the gated-frame shape for a deferred/staged
+            pending slice (deterministic: every deferred row was
+            robots-allowed when deferred, so _allowed is a literal)."""
+            pparts = _with_url_parts(pending_df).filter(
+                (F.col("host") != "") & (F.col("scheme") != "")
+            )
+            return pparts.join(
+                robots_side,
+                (pparts["scheme"] == F.col("r_scheme"))
+                & (pparts["host"] == F.col("r_host")),
+                "left",
+            ).withColumn("_allowed", F.lit(True))
+
         blocked_offset = 0
         if resume_parts:
             # mid-wave resume: adopt the completed politeness subwaves
@@ -570,16 +588,7 @@ class SparkCrawler:
             pending = spark.read.parquet(
                 *last_part["tables"][f"pending_sub{subwave - 1}"]["files"]
             )
-            # re-gate the pending rows (deterministic: they were all
-            # robots-allowed when deferred)
-            pparts = _with_url_parts(pending).filter(
-                (F.col("host") != "") & (F.col("scheme") != "")
-            )
-            remaining = pparts.join(
-                robots_side,
-                (pparts["scheme"] == F.col("r_scheme")) & (pparts["host"] == F.col("r_host")),
-                "left",
-            ).withColumn("_allowed", F.lit(True))
+            remaining = regate(pending)
 
         frontier_cols = ["url_key", "fetch_url", "depth", "priority", "seed_order"]
         while True:
@@ -601,18 +610,30 @@ class SparkCrawler:
                 d,
             )
             parsed_slices.append(info)
-            if remaining is None or remaining.isEmpty():
+            if remaining is None:
+                subwave += 1
+                break
+            # stage the deferred slice FIRST: its manifest row count
+            # gates the loop for free, instead of a separate isEmpty()
+            # job per subwave (VERDICT r02 #6)
+            pending_info = store.stage(
+                f"pending_sub{subwave}", remaining.select(*frontier_cols), d
+            )
+            if pending_info["rows"] == 0:
                 subwave += 1
                 break
             # mid-wave checkpoint: completed slices + the deferred
             # frontier survive an interruption (north_star clause)
-            store.stage(f"pending_sub{subwave}", remaining.select(*frontier_cols), d)
             store.commit_wave(
                 d,
                 {"phase": "partial", "subwave": subwave,
                  "blocked_so_far": blocked_offset + blocked_acc.value},
                 part=subwave,
             )
+            # continue from the STAGED slice: breaks the per-subwave
+            # lineage chain (the lazy frame would re-run every prior
+            # budget window + the gate join on each new subwave)
+            remaining = regate(spark.read.parquet(*pending_info["files"]))
             subwave += 1
         lap("t_fetch_parse")
 

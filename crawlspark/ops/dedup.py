@@ -235,9 +235,10 @@ def dup_labels(docs: DataFrame, n_perm: int = 16, bands: int = 4,
     # one SparkSession) should not accumulate per-call cache entries,
     # and downstream consumers should not re-run the iterative joins
     import os
-    import tempfile
 
-    out_path = os.path.join(tempfile.mkdtemp(prefix="crawlspark-cc-"), "labels")
+    from ..scratch import scratch_dir
+
+    out_path = os.path.join(scratch_dir(prefix="crawlspark-cc-"), "labels")
     labels.write.mode("overwrite").parquet(out_path)
     edges.unpersist()
     labels.unpersist()

@@ -1,0 +1,42 @@
+"""Driver-side scratch directories with guaranteed cleanup.
+
+Long-lived driver sessions are exactly why dup_labels spills its CC
+labels to parquet (ops/dedup.py), but every spill previously leaked a
+mkdtemp directory for the life of /tmp (ADVICE r02): now every
+scratch dir is registered for atexit removal, and callers that fully
+materialize the contents (e.g. a drained memory-sink stream) can
+`release()` eagerly. Spill dirs whose DataFrame is consumed lazily
+(dup_labels' returned reader) stay until interpreter exit — the
+bounded, self-cleaning version of the old behavior.
+"""
+
+from __future__ import annotations
+
+import atexit
+import shutil
+import tempfile
+
+__all__ = ["scratch_dir", "release"]
+
+_DIRS: set[str] = set()
+
+
+def scratch_dir(prefix: str = "crawlspark-") -> str:
+    """mkdtemp that is removed at interpreter exit (or via release)."""
+    d = tempfile.mkdtemp(prefix=prefix)
+    _DIRS.add(d)
+    return d
+
+
+def release(path: str) -> None:
+    """Remove a scratch dir NOW — call once its contents are fully
+    materialized (never while a lazy DataFrame still reads it)."""
+    _DIRS.discard(path)
+    shutil.rmtree(path, ignore_errors=True)
+
+
+@atexit.register
+def _cleanup() -> None:
+    for d in list(_DIRS):
+        shutil.rmtree(d, ignore_errors=True)
+        _DIRS.discard(d)

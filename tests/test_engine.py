@@ -235,6 +235,41 @@ def test_budget_defer_preserves_sets(spark, tmp_path):
     assert metrics[2]["subwaves"] >= 2
 
 
+def test_duplicate_pages_rows_emit_one_blocked_result(spark, tmp_path):
+    """Single-pass mode LEFT-joins blocked frontier rows against the
+    pages corpus with `_allowed` as a join residual, so a duplicate
+    `url` in pages emits exactly ONE blocked Result — same as the
+    budget path, which never joins blocked rows at all (ADVICE r02)."""
+    import pandas as pd
+
+    from crawlspark import testkit as tk
+
+    rows = [
+        tk.page_row("site-d.test", "", branching=0, extra_links=[("/a", "a")]),
+        tk.page_row("site-d.test", "a", branching=0),
+        tk.page_row("site-d.test", "a", branching=0),  # duplicate url
+    ]
+    pages_pdf = pd.DataFrame(rows)
+    robots_pdf = pd.DataFrame(
+        [{"host": "site-d.test", "scheme": "http", "status_code": 200,
+          "body": "User-agent: *\nDisallow: /a\n"}]
+    )
+    for name, extra in (("nobudget", {}), ("budget", {"per_host_budget": 5})):
+        cfg = CrawlConfig(From=["http://site-d.test/"], MaxDepth=1, **extra)
+        crawler = SparkCrawler(
+            spark, cfg,
+            testkit.pages_to_spark(spark, pages_pdf),
+            testkit.robots_to_spark(spark, robots_pdf),
+            workdir=str(tmp_path / f"duppages-{name}"),
+        )
+        crawler.run()
+        blocked = crawler.results().filter(
+            "Status = 'Blocked by robots.txt'"
+        ).collect()
+        assert len(blocked) == 1, (name, blocked)
+        assert blocked[0]["Address"]["Full"] == "http://site-d.test/a"
+
+
 def test_scope_include_exclude(spark, tmp_path):
     pages_pdf, robots_pdf, seeds = testkit.matrix_site()
     cfg = CrawlConfig(

@@ -138,6 +138,32 @@ def test_cli_sitemap_index_expands_recursively(tmp_path):
     assert out.stdout.split() == ["http://x.test/a", "http://x.test/b", "http://x.test/c"]
 
 
+def test_cli_sitemap_skips_cross_host_children(tmp_path):
+    """The local-file sitemap fetcher anchors to the first host and
+    warns-and-skips cross-host / host-only index children instead of
+    silently resolving them against the local tree (ADVICE r02)."""
+    child = tmp_path / "child.xml"
+    child.write_text(
+        '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+        "<url><loc>http://x.test/a</loc></url></urlset>"
+    )
+    index = tmp_path / "index.xml"
+    index.write_text(
+        '<sitemapindex xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+        "<sitemap><loc>http://x.test/child.xml</loc></sitemap>"
+        "<sitemap><loc>http://evil.test/child.xml</loc></sitemap>"
+        "<sitemap><loc>http://x.test</loc></sitemap></sitemapindex>"
+    )
+    out = subprocess.run(
+        [sys.executable, "-m", "crawlspark.cli", "sitemap", str(index)],
+        capture_output=True, text=True, cwd="/root/repo", timeout=60,
+    )
+    assert out.returncode == 0
+    assert out.stdout.split() == ["http://x.test/a"]
+    assert "cross-host" in out.stderr and "evil.test" in out.stderr
+    assert "host-only" in out.stderr
+
+
 def test_streaming_event_windows(spark, tmp_path):
     """Append-mode windowed agg: every real window finalizes exactly
     once after the flush sentinel pushes the watermark past it, and
