@@ -499,20 +499,19 @@ class SparkCrawler:
             d += 1
         return store
 
-    def _run_wave(
-        self,
-        frontier: DataFrame,
-        d: int,
-        frontier_rows: int | None = None,
-        resume_parts: list | None = None,
-    ) -> dict:
-        cfg, store, spark = self.cfg, self.store, self.spark
+    def _gate(self, frontier: DataFrame, robots_side: DataFrame | None = None) -> DataFrame:
+        """Robots gate: frontier ⋈ robots (broadcast) + the `_allowed`
+        pandas-UDF column. Factored out of _run_wave so tests can
+        assert on the composed wave PLAN (exactly one robots-UDF
+        evaluation, bucketed fetch join) without running a crawl."""
+        cfg = self.cfg
+        if robots_side is None:
+            robots_side = F.broadcast(self.robots) if cfg.robots_broadcast else self.robots
         parts = _with_url_parts(frontier)
         # robots.Locate parse failure (no host/scheme, e.g. mailto:)
         # -> URL skipped silently, no result row (state.go:57-61 FIXME path)
         parts = parts.filter((F.col("host") != "") & (F.col("scheme") != ""))
-        robots_side = F.broadcast(self.robots) if cfg.robots_broadcast else self.robots
-        gated = parts.join(
+        return parts.join(
             robots_side,
             (parts["scheme"] == F.col("r_scheme")) & (parts["host"] == F.col("r_host")),
             "left",
@@ -527,6 +526,17 @@ class SparkCrawler:
                 F.col("fetch_url"), F.col("robots_status"), F.col("robots_body")
             ),
         )
+
+    def _run_wave(
+        self,
+        frontier: DataFrame,
+        d: int,
+        frontier_rows: int | None = None,
+        resume_parts: list | None = None,
+    ) -> dict:
+        cfg, store, spark = self.cfg, self.store, self.spark
+        robots_side = F.broadcast(self.robots) if cfg.robots_broadcast else self.robots
+        gated = self._gate(frontier, robots_side)
 
         blocked_acc = spark.sparkContext.accumulator(0)
         budget = cfg.per_host_budget

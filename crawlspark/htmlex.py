@@ -35,7 +35,11 @@ import base64
 import hashlib
 from html.parser import HTMLParser
 
-__all__ = ["extract_html", "sha512_b64", "parse_tree", "query", "query_all", "text"]
+__all__ = [
+    "extract_html", "sha512_b64", "parse_tree", "query", "query_all",
+    "text", "nodes_by_tag_name", "nodes_by_name", "node_by_id",
+    "nodes_by_class_name", "attribute", "classes",
+]
 
 _VOID = {
     "area", "base", "br", "col", "embed", "hr", "img", "input",
@@ -124,6 +128,13 @@ def parse_tree(html_str: str) -> _Node:
     return tb.root
 
 
+def _match_attribute(k: str, v: str, n: _Node) -> bool:
+    """scrape.matchAttribute (scrape/scrape.go:122-132): an attribute
+    must be PRESENT and value-equal; a value-less attribute (Go html
+    gives Val "", html.parser gives None) matches v == ""."""
+    return k in n.attrs and (n.attrs[k] or "") == v
+
+
 def query_all(tag: str, attrs: dict | None, root: _Node) -> list[_Node]:
     """All elements named ``tag`` whose attributes contain every
     (k, v) in ``attrs``, in pre-order document order — the reference's
@@ -132,7 +143,7 @@ def query_all(tag: str, attrs: dict | None, root: _Node) -> list[_Node]:
     for n in _walk(root):
         if n.tag != tag:
             continue
-        if attrs and any(n.attrs.get(k) != v for k, v in attrs.items()):
+        if attrs and not all(_match_attribute(k, v, n) for k, v in attrs.items()):
             continue
         out.append(n)
     return out
@@ -149,6 +160,49 @@ def text(node: _Node | None) -> str:
     """Concatenated subtree text, no separators or trimming —
     scrape.Text (scrape/scrape.go:100-117)."""
     return _text(node)
+
+
+def nodes_by_tag_name(tag: str, root: _Node) -> list[_Node]:
+    """All elements named ``tag`` in pre-order document order —
+    scrape.NodesByTagName (scrape/scrape.go:35-48)."""
+    return [n for n in _walk(root) if n.tag == tag]
+
+
+def nodes_by_name(name: str, root: _Node) -> list[_Node]:
+    """All elements whose ``name`` attribute equals ``name`` —
+    scrape.NodesByName (scrape/scrape.go:50-59), pre-order."""
+    return [n for n in _walk(root) if _match_attribute("name", name, n)]
+
+
+def node_by_id(id_: str, root: _Node) -> _Node | None:
+    """First element (pre-order) whose ``id`` attribute equals
+    ``id_``, or None — scrape.NodeByID (scrape/scrape.go:61-71)."""
+    for n in _walk(root):
+        if _match_attribute("id", id_, n):
+            return n
+    return None
+
+
+def nodes_by_class_name(class_: str, root: _Node) -> list[_Node]:
+    """All elements whose whitespace-split ``class`` attribute
+    contains ``class_`` — scrape.NodesByClassName
+    (scrape/scrape.go:73-82), pre-order."""
+    return [n for n in _walk(root) if class_ in classes(n)]
+
+
+def attribute(key: str, n: _Node | None) -> str:
+    """Value of attribute ``key``, or "" when the node is None or the
+    attribute absent/value-less — scrape.Attribute
+    (scrape/scrape.go:84-94)."""
+    if n is None:
+        return ""
+    return n.attrs.get(key) or ""
+
+
+def classes(n: _Node | None) -> list[str]:
+    """Whitespace-split class list (str.split() == strings.Fields) —
+    scrape.Classes (scrape/scrape.go:96-98)."""
+    return attribute("class", n).split()
 
 
 def extract_html(html_str: str) -> dict:

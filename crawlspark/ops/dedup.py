@@ -3,8 +3,10 @@ MinHash+LSH, SimHash, n-gram Jaccard, embedding-cosine near-dup).
 
 Portability contract: exact/minhash/jaccard use md5 (present and
 identical in Spark and DuckDB) so every hash-derived value is
-cross-engine checkable; simhash needs 64-bit bit surgery -> pandas
-UDF, rows-only check.
+cross-engine checkable; simhash does its 64-bit bit surgery in a
+pandas UDF AND is still fully oracle-checked — the DuckDB twin
+recomputes the per-bit majority vote in HUGEINT SQL from the same
+md5 word hashes (__spark_entry__.oracle_sql()['docs_simhash']).
 
 Scale shape (the 100 TB view):
 - exact_dedup: one hash-groupBy shuffle on a 32-hex key — minimal.
@@ -282,7 +284,8 @@ def dedup_materialize(docs: DataFrame, n_perm: int = 16, bands: int = 4,
 
 def simhash(docs: DataFrame) -> DataFrame:
     """64-bit SimHash over word md5 hashes (vectorized numpy inside a
-    pandas UDF; bit surgery isn't portable SQL -> rows-only check)."""
+    pandas UDF; oracle-checked via a full HUGEINT bit-vote SQL
+    recompute in the DuckDB twin)."""
 
     @F.pandas_udf(T.LongType())
     def _simhash(texts: pd.Series) -> pd.Series:

@@ -4,7 +4,8 @@ source, n_chars)` table.
 All-JVM where possible (token/quality/fingerprint are pure column
 expressions with DuckDB-oracle SQL equivalents in __spark_entry__);
 language-ID is an n-gram-profile scorer that genuinely needs Python
--> vectorized pandas UDF (Arrow-batched), checked rows-only.
+-> vectorized pandas UDF (Arrow-batched), oracle-checked against a
+full SQL trigram-score recompute in the DuckDB twin.
 
 Scale notes: every operator here is embarrassingly parallel (no
 shuffle at all — narrow transformations over the scan), so they

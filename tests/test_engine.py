@@ -519,6 +519,49 @@ def test_midwave_resume(spark, tmp_path):
     _assert_match(part2, _oracle_run(cfg, pages_pdf, robots_pdf))
 
 
+def test_single_pass_wave_plan_regression(spark, tmp_path):
+    """Explain-based plan guard (VERDICT r02 #8): the composed
+    single-pass wave evaluates the robots pandas-UDF exactly ONCE
+    (no double-gate: one ArrowEvalPython node) and the fetch join
+    scans the bucketed pages table without a pages-side Exchange, so
+    future engine edits can't silently reintroduce either regression."""
+    from crawlspark.engine import SparkCrawler, bucketize_pages
+    from crawlspark.schema import FRONTIER_SCHEMA
+
+    pages_pdf, robots_pdf, seeds = testkit.nice_site(branching=2, max_id_len=2)
+    pages_df = bucketize_pages(
+        spark, testkit.pages_to_spark(spark, pages_pdf), "pages_plan_test", buckets=8
+    )
+    cfg = CrawlConfig(From=seeds, MaxDepth=1)
+    c = SparkCrawler(
+        spark, cfg, pages_df, testkit.robots_to_spark(spark, robots_pdf),
+        workdir=str(tmp_path / "plan"),
+    )
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # suppress broadcast of the tiny test frontier so the
+        # sort-merge path (the 10^10-scale plan) is what we assert on
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        frontier = spark.createDataFrame(
+            [(u, u, 0, i, i) for i, u in enumerate(seeds)], FRONTIER_SCHEMA
+        )
+        parsed = c._fetch_and_parse(
+            c._gate(frontier), rows_hint=len(seeds), single_pass=True
+        )
+        plan = parsed._jdf.queryExecution().executedPlan().toString()
+        # exactly one robots-UDF evaluation in the whole wave
+        assert plan.count("ArrowEvalPython") == 1, plan
+        # parse stage is one Arrow map, no cartesian anywhere
+        assert "CartesianProduct" not in plan
+        # pages side stays bucketed: the only parquet scan is pages,
+        # and it is bucket-pruned with no Exchange above it
+        assert "Bucketed: true" in plan, plan
+        pages_side = plan.split("FileScan parquet")[1]
+        assert "SelectedBucketsCount" in pages_side
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
 def test_bucketed_pages_fetch_join(spark, tmp_path):
     """Bucketed pages table: identical crawl output, and the fetch
     join plan scans the pages side bucketed (no pages-side shuffle)."""
