@@ -52,6 +52,10 @@ def build_spark(cpus: str = CPUS):
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # split wide aggregates (16-min minhash) into small generated
+        # methods: one Janino compile drops from ~7 s to ~1.7 s and the
+        # sf0.001 shape warmup then covers it (measured, BENCH.md)
+        .config("spark.sql.codegen.aggregate.splitAggregateFunc.enabled", "true")
         .config("spark.driver.memory", "16g")
         .config("spark.ui.enabled", "false")
         .getOrCreate()
@@ -140,12 +144,12 @@ def bench_queries(spark) -> dict[str, float]:
     spark.catalog.clearCache()
     qs = entry.queries()
     # warm each query SHAPE once at the tiny sf (untimed): whole-stage
-    # codegen compiles the generated code on first execution. Most
-    # shapes transfer across sf; minhash's does NOT (its plan variant
-    # is size-dependent), so its timed number still carries ~6 s of
-    # one-time Janino compile on top of ~0.8-1.2 s steady-state
-    # execution (measured; see BENCH.md) — a constant, not a scale
-    # term.
+    # codegen compiles the generated code on first execution. All
+    # shapes now transfer across sf — r2's "minhash warmup doesn't
+    # transfer" was misdiagnosed as a plan-variant issue; it was an
+    # O(words²)-per-doc shingle expression (fixed, ops/dedup._shingles)
+    # whose cost scaled with data and so LOOKED like a non-transferring
+    # constant. The timed numbers below are honest steady-state.
     warm_dir = "/root/testdata/sf0.001"
     if os.path.isdir(warm_dir) and os.path.realpath(warm_dir) != os.path.realpath(SF_DIR):
         for name in HEADLINE:

@@ -65,15 +65,14 @@ def fingerprint(docs: DataFrame, k: int = 4, shingle_words: int = 3) -> DataFram
     shingles (a k-min sketch — the winnowing-style rolling-hash
     fingerprint, expressed portably via md5 so the DuckDB oracle
     computes the identical value)."""
-    words = F.split(F.trim("text"), _WS)
-    idx = F.sequence(F.lit(0), F.greatest(F.size(words) - shingle_words, F.lit(0)))
+    # zip_with shingle build (see ops/dedup._shingles for why the
+    # transform(sequence)-over-slice form is O(words²) per doc); the
+    # md5 lambda here sees only gram elements, never the outer array
+    from .dedup import _shingles
+
     shingles = F.transform(
-        idx,
-        lambda i: F.md5(
-            F.encode(
-                F.concat_ws(" ", F.slice(words, i + 1, shingle_words)), "utf-8"
-            )
-        ),
+        _shingles(shingle_words),
+        lambda g: F.md5(F.encode(g, "utf-8")),
     )
     return docs.select(
         "doc_id",
