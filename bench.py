@@ -56,6 +56,10 @@ def build_spark(cpus: str = CPUS):
         # methods: one Janino compile drops from ~7 s to ~1.7 s and the
         # sf0.001 shape warmup then covers it (measured, BENCH.md)
         .config("spark.sql.codegen.aggregate.splitAggregateFunc.enabled", "true")
+        # local mode: every task is PROCESS_LOCAL — any locality wait is
+        # pure scheduler idle time (measured ~10-15% on the wave-heavy
+        # deep drain, which pays scheduling per wave)
+        .config("spark.locality.wait", "0")
         .config("spark.driver.memory", "16g")
         .config("spark.ui.enabled", "false")
         .getOrCreate()
@@ -107,9 +111,14 @@ def _drain(spark, n_hosts, branching, depth, hot, bucketed: bool = False) -> tup
 def bench_crawl(spark) -> tuple[float, dict, float, dict]:
     # untimed warmup: spins up the JVM codegen paths + reusable Python
     # workers so the timed drains measure steady-state crawl throughput,
-    # not one-time process startup (the deep drain is only ~18 s of
-    # work — a cold first wave was adding ~50% to it)
+    # not one-time process startup (the deep drain is only ~10 s of
+    # work — a cold first wave was adding ~50% to it). The second,
+    # depth-2 mini-drain covers the multi-wave plan shapes (seen
+    # anti-join over 2 slices, wave-3 frontier) the 1-wave warmup
+    # misses — measured another ~2 s of first-run cost otherwise
+    # landing inside the timed deep drain.
     _drain(spark, 2, 2, 1, 1)
+    _drain(spark, 6, 4, 2, 2)
     deep_secs, deep = _drain(spark, N_HOSTS, BRANCHING, DEPTH, HOT)
     # bucketed pages layout is the documented 100 TB deployment shape
     # (PLANS.md fetch-join row): one-time untimed layout cost, every

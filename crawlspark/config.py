@@ -72,9 +72,15 @@ class CrawlConfig:
     detailed_metrics: bool = True  # per-wave candidate counts (extra job; bench turns off)
     robots_broadcast: bool = True  # hint broadcast for the rules join; False at 10^7+ hosts
     # (AQE still picks broadcast when the rules table is small enough)
-    parse_partitions: int | None = None  # row-parallelism of the parse stage;
-    # None -> shuffle_partitions. CPU-bound Python stages balance best at
-    # ~2-3 tasks/core (measured +20-40% on the wide drain at local[32]).
+    parse_partitions: int | None = None  # row-parallelism CAP of the parse
+    # stage; None -> shuffle_partitions. CPU-bound Python stages balance
+    # best at ~2-3 tasks/core on BIG waves (measured +20-40% on the wide
+    # drain at local[32]), but each Arrow task carries fixed overhead, so
+    # small waves want FEWER tasks: the engine scales the actual count as
+    # clamp(rows / parse_rows_per_task, shuffle_partitions, this cap)
+    # (measured: the 15.7k-URL deep drain runs ~25% faster at 32 parse
+    # partitions than at the wide drain's optimal 96).
+    parse_rows_per_task: int = 512  # target rows per parse task
 
     @classmethod
     def from_json(cls, text: str) -> "CrawlConfig":

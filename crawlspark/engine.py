@@ -360,11 +360,22 @@ class SparkCrawler:
         # ROWS, not bytes — force row-parallelism before the Python
         # stage (cheap shuffle vs single-threaded parse).
         # rows_hint (the frontier row count, free from the manifest)
-        # caps task count for small waves — no 96-task fan-out for a
-        # 50-row seed wave; a no-op at scale where rows >> partitions.
-        n_parse = self.cfg.parse_partitions or self.cfg.shuffle_partitions
+        # scales the task count: target parse_rows_per_task rows per
+        # Arrow task, floored at shuffle_partitions (full core use on
+        # mid-size waves), capped at parse_partitions (fine grain for
+        # straggler smoothing on big waves), never more tasks than
+        # rows. Measured: 96 fixed tasks cost the deep drain ~25% on
+        # its sub-15k-row waves, while the 200k-row wide wave needs
+        # all 96 (32 tasks = +70% from stragglers).
+        cap = self.cfg.parse_partitions or self.cfg.shuffle_partitions
         if rows_hint is not None:
-            n_parse = max(1, min(n_parse, rows_hint))
+            scaled = max(
+                min(self.cfg.shuffle_partitions, rows_hint),
+                rows_hint // max(self.cfg.parse_rows_per_task, 1),
+            )
+            n_parse = max(1, min(cap, scaled))
+        else:
+            n_parse = cap
         joined = joined.repartition(n_parse, "url_key")
         if self.cfg.pacing_enabled and self.cfg.wait_seconds > 0:
             wait = self.cfg.wait_seconds
