@@ -33,8 +33,9 @@ from pyspark.sql import types as T
 
 __all__ = [
     "exact_dedup", "minhash_signatures", "minhash_lsh_pairs",
-    "ngram_jaccard_pairs", "simhash", "simhash_neardup",
-    "embedding_neardup", "dup_labels", "dup_clusters", "dedup_materialize",
+    "lsh_verified_pairs", "ngram_jaccard_pairs", "simhash",
+    "simhash_neardup", "embedding_neardup", "dup_labels",
+    "dup_clusters", "dedup_materialize",
 ]
 
 _WS = r"\s+"
@@ -195,6 +196,45 @@ def minhash_lsh_pairs(
         .distinct()
     )
     return pairs.orderBy(F.desc("est_jaccard"), "doc_a", "doc_b")
+
+
+def lsh_verified_pairs(
+    docs: DataFrame,
+    n_perm: int = 16,
+    bands: int = 4,
+    shingle_words: int = 2,
+    threshold: float = 0.3,
+) -> DataFrame:
+    """The production near-dup pipeline in one operator: LSH candidate
+    generation (banded minhash — the RECALL stage) followed by exact
+    n-gram Jaccard computed on ONLY the candidate pairs (the PRECISION
+    stage that kills LSH false positives). At 100 TB the verify join
+    touches |candidates| rows — bounded by true near-dups — never the
+    all-pairs space; ngram_jaccard_pairs' source-blocking emulates
+    this stage standalone. Both joins against the gram table are
+    plain equi-joins on doc id (broadcastable when the candidate set
+    is small, hash join otherwise)."""
+    cand = minhash_lsh_pairs(docs, n_perm, bands, shingle_words).select(
+        "doc_a", "doc_b"
+    )
+    g = docs.select(
+        "doc_id", F.array_distinct(_shingles(shingle_words)).alias("grams")
+    )
+    a = g.select(F.col("doc_id").alias("doc_a"), F.col("grams").alias("ga"))
+    b = g.select(F.col("doc_id").alias("doc_b"), F.col("grams").alias("gb"))
+    inter = F.size(F.array_intersect("ga", "gb"))
+    union = F.size("ga") + F.size("gb") - inter
+    return (
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(inter / F.greatest(union, F.lit(1)), 4).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .orderBy(F.desc("jaccard"), "doc_a", "doc_b")
+    )
 
 
 def ngram_jaccard_pairs(

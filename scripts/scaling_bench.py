@@ -56,6 +56,10 @@ def single_run(cpus: int) -> dict:
         .config("spark.sql.shuffle.partitions", str(max(cpus, 8)))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # local mode: all tasks PROCESS_LOCAL — locality wait is pure
+        # scheduler idle (applies identically to both legs; see
+        # bench.py build_spark)
+        .config("spark.locality.wait", "0")
         .config("spark.driver.memory", "16g")
         .config("spark.ui.enabled", "false")
         .getOrCreate()
