@@ -34,8 +34,8 @@ from pyspark.sql import types as T
 __all__ = [
     "exact_dedup", "minhash_signatures", "minhash_lsh_pairs",
     "lsh_verified_pairs", "ngram_jaccard_pairs", "simhash",
-    "simhash_neardup", "embedding_neardup", "dup_labels",
-    "dup_clusters", "dedup_materialize",
+    "simhash_neardup", "embedding_neardup", "embedding_neardup_ivf",
+    "dup_labels", "dup_clusters", "dedup_materialize",
 ]
 
 _WS = r"\s+"
@@ -264,6 +264,48 @@ def ngram_jaccard_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
         .orderBy(F.desc("jaccard"), "doc_a", "doc_b")
+    )
+
+
+def embedding_neardup_ivf(
+    emb: DataFrame, centroids: DataFrame, threshold: float = 0.4
+) -> DataFrame:
+    """Embedding-cosine near-duplicates blocked by IVF bucket — the
+    10^9-vector scale path embedding_neardup's label-blocking stands
+    in for: vectors pair only within their nearest-centroid inverted
+    list (ops/similarity.ivf_assign, committed k-means fixture), so
+    the pair space is sum-of-squared-bucket-sizes, bounded by k-means
+    balance, never O(n²). Standard IVF recall tradeoff: a near-dup
+    pair straddling a centroid boundary is missed — multi-probe
+    assignment (assign each vector to its p nearest buckets) trades
+    p× the pair work to recover those; single-probe here matches the
+    oracle exactly."""
+    from .similarity import ivf_assign
+
+    e = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    ).join(ivf_assign(emb, centroids), "vec_id")
+    a, b = e.alias("a"), e.alias("b")
+
+    def dot(x, y):
+        return F.aggregate(F.zip_with(x, y, lambda p, q: p * q), F.lit(0.0), lambda s, t: s + t)
+
+    cos = dot(F.col("a.v"), F.col("b.v")) / (
+        F.sqrt(dot(F.col("a.v"), F.col("a.v"))) * F.sqrt(dot(F.col("b.v"), F.col("b.v")))
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.round(cos, 4).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .orderBy(F.desc("cosine"), "vec_a", "vec_b")
     )
 
 

@@ -25,7 +25,13 @@ from .engine import RESULT_FULL_SCHEMA
 __all__ = ["stream_crawl_monitor", "stream_event_windows"]
 
 
-def stream_crawl_monitor(spark: SparkSession, results_glob: str, query_name: str = "crawl_monitor"):
+def stream_crawl_monitor(
+    spark: SparkSession,
+    results_glob: str,
+    query_name: str = "crawl_monitor",
+    schema=None,
+    max_files_per_trigger: int | None = None,
+):
     """Streaming per-(Depth, StatusCode) counters over an appended
     results directory. Returns the StreamingQuery (memory sink).
 
@@ -33,11 +39,10 @@ def stream_crawl_monitor(spark: SparkSession, results_glob: str, query_name: str
     by (max depth × distinct status codes) — a few hundred rows at
     any crawl scale — unlike time-windowed aggs, which must use
     append mode (see stream_event_windows)."""
-    stream = (
-        spark.readStream.schema(RESULT_FULL_SCHEMA)
-        .option("pathGlobFilter", "*.parquet")
-        .parquet(results_glob)
-    )
+    reader = spark.readStream.schema(schema or RESULT_FULL_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    stream = reader.option("pathGlobFilter", "*.parquet").parquet(results_glob)
     agg = stream.groupBy("Depth", "StatusCode").agg(
         F.count("*").alias("n"),
         F.count(F.when(F.col("Status") == "Blocked by robots.txt", 1)).alias("blocked"),
