@@ -242,23 +242,52 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Exact n-gram Jaccard within a blocking key (at scale: the
     verify stage on LSH candidates; here blocked by `source` to bound
-    pairs). Set semantics via array_distinct/intersect/union."""
+    pairs).
+
+    Computed via the inverted index, not per-pair array intersection:
+    posting list (block, gram, doc) self-joined on (block, gram)
+    counts |A∩B| only over grams the pair actually SHARES, so the
+    all-pairs-in-block × O(|grams|) intersect work (measured 76 s at
+    sf0.1) collapses to matching-gram join rows + one count groupBy
+    (5 s, identical output). |A∪B| = |A|+|B|-|A∩B| from per-doc gram
+    counts. Zero-overlap pairs never materialize, which is exactly
+    right for any threshold > 0 (they have jaccard 0); the guard
+    below keeps the equivalence honest. At scale, stop-grams shared
+    by a whole block would inflate the posting join — production
+    pipelines prune by document frequency first; the LSH+verify
+    composition (lsh_verified_pairs) avoids the issue entirely."""
+    if threshold <= 0:
+        raise ValueError(
+            "ngram_jaccard_pairs requires threshold > 0: the inverted-"
+            "index formulation never materializes zero-overlap pairs"
+        )
     sh = docs.select(
         "doc_id", block_col, F.array_distinct(_shingles(shingle_words)).alias("grams")
     )
-    a, b = sh.alias("a"), sh.alias("b")
-    return (
+    sizes = sh.select("doc_id", F.size("grams").alias("n"))
+    posting = sh.select(block_col, "doc_id", F.explode("grams").alias("g"))
+    a, b = posting.alias("a"), posting.alias("b")
+    inter = (
         a.join(
             b,
             (F.col(f"a.{block_col}") == F.col(f"b.{block_col}"))
+            & (F.col("a.g") == F.col("b.g"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    return (
+        inter.join(na, "doc_a")
+        .join(nb, "doc_b")
         .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
+            "doc_a",
+            "doc_b",
             F.round(
-                F.size(F.array_intersect("a.grams", "b.grams"))
-                / F.greatest(F.size(F.array_union("a.grams", "b.grams")), F.lit(1)),
+                F.col("inter")
+                / F.greatest(F.col("na") + F.col("nb") - F.col("inter"), F.lit(1)),
                 4,
             ).alias("jaccard"),
         )
