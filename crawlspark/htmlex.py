@@ -120,8 +120,148 @@ def _first(nodes, tag, attrs=None):
     return None
 
 
+class _Fallback(Exception):
+    """Raised by the fast tokenizer on any construct outside its
+    strict subset — the caller re-parses with html.parser."""
+
+
+# Strict-subset token grammar. ANYTHING not matching falls back to
+# html.parser for the whole document, so the fast path can never
+# silently diverge on inputs it wasn't sure about. Attr values
+# exclude '<' (html.parser accepts it inside quotes; rare -> fallback).
+import re as _re
+from html import unescape as _unescape
+
+_TAG_START = _re.compile(
+    r"<([a-zA-Z][a-zA-Z0-9:._-]*)"
+    r"((?:\s+[a-zA-Z_:][-a-zA-Z0-9_:.]*"
+    r"(?:\s*=\s*(?:\"[^\"<]*\"|'[^'<]*'|[^\s>'\"<`=]+))?)*)"
+    r"\s*(/?)>"
+)
+_TAG_ATTR = _re.compile(
+    r"\s+([a-zA-Z_:][-a-zA-Z0-9_:.]*)"
+    r"(?:\s*=\s*(\"([^\"<]*)\"|'([^'<]*)'|([^\s>'\"<`=]+)))?"
+)
+_TAG_END = _re.compile(r"</([a-zA-Z][a-zA-Z0-9:._-]*)\s*>")
+# _markupbase.parse_comment closes on r'--\s*>' — mirror exactly
+_COMMENT_CLOSE = _re.compile(r"--\s*>")
+_SIMPLE_DECL = _re.compile(r"<![a-zA-Z][^>\"'\[]*>")
+_PI_CLOSE = ">"
+_CDATA_CLOSE = {
+    t: _re.compile(r"</\s*%s\s*>" % t, _re.I) for t in ("script", "style")
+}
+
+
+def _fast_tree(s: str) -> _Node:
+    """Single-pass regex tokenizer over the strict clean-HTML subset,
+    producing the identical tree _TreeBuilder builds (differentially
+    fuzz-tested in tests/test_purecore.py). ~5x faster than
+    html.parser, which spends the parse budget in parse_starttag /
+    goahead bookkeeping (profiled: 80% of extract_html). Raises
+    _Fallback on anything it is not SURE html.parser would treat the
+    same way (declarations with quotes/brackets, CDATA sections,
+    unterminated constructs, '<' in attr values, ...)."""
+    root = _Node("#root")
+    stack = [root]
+    i, n = 0, len(s)
+    while i < n:
+        lt = s.find("<", i)
+        if lt < 0:
+            seg = s[i:]
+            stack[-1].children.append(_unescape(seg) if "&" in seg else seg)
+            break
+        if lt > i:
+            seg = s[i:lt]
+            stack[-1].children.append(_unescape(seg) if "&" in seg else seg)
+        nxt = s[lt + 1] if lt + 1 < n else ""
+        if nxt.isalpha():
+            m = _TAG_START.match(s, lt)
+            if not m:
+                raise _Fallback
+            tag, araw, selfclose = m.groups()
+            tag = tag.lower()
+            attrs = []
+            if araw:
+                apos = 0
+                for am in _TAG_ATTR.finditer(araw):
+                    if am.start() != apos:
+                        raise _Fallback
+                    apos = am.end()
+                    name, _, dq, sq, unq = am.groups()
+                    val = dq if dq is not None else (sq if sq is not None else unq)
+                    if val is not None and "&" in val:
+                        val = _unescape(val)
+                    attrs.append((name.lower(), val))
+                if apos != len(araw):
+                    raise _Fallback
+            node = _Node(tag, attrs)
+            stack[-1].children.append(node)
+            i = m.end()
+            if selfclose:   # XHTML self-close: never pushed (html.parser
+                pass        # routes it to handle_startendtag)
+            elif tag in ("script", "style"):
+                # CDATA content mode: raw (NOT unescaped) data up to the
+                # matching close tag; html.parser behaves the same
+                cm = _CDATA_CLOSE[tag].search(s, i)
+                if not cm:
+                    raise _Fallback  # unterminated cdata: parser-specific
+                if cm.start() > i:
+                    node.children.append(s[i:cm.start()])
+                i = cm.end()
+            elif tag not in _VOID:
+                stack.append(node)
+        elif nxt == "/":
+            m = _TAG_END.match(s, lt)
+            if not m:
+                raise _Fallback
+            tag = m.group(1).lower()
+            for k in range(len(stack) - 1, 0, -1):
+                if stack[k].tag == tag:
+                    del stack[k:]
+                    break
+            i = m.end()
+        elif nxt == "!":
+            if s.startswith("<!--", lt):
+                cm = _COMMENT_CLOSE.search(s, lt + 4)
+                if not cm:
+                    raise _Fallback
+                i = cm.end()
+            else:
+                m = _SIMPLE_DECL.match(s, lt)
+                if not m:
+                    raise _Fallback  # marked sections, quoted/
+                i = m.end()          # bracketed declarations
+        elif nxt == "?":
+            gt = s.find(_PI_CLOSE, lt)
+            if gt < 0:
+                raise _Fallback
+            i = gt + 1
+        elif lt + 1 < n:
+            # bare '<' not opening any construct: html.parser emits it
+            # as literal data and continues after it
+            stack[-1].children.append("<")
+            i = lt + 1
+        else:
+            stack[-1].children.append("<")  # trailing '<' at EOF
+            i = n
+    return root
+
+
 def parse_tree(html_str: str) -> _Node:
-    """Parse HTML to the internal element tree (root node)."""
+    """Parse HTML to the internal element tree (root node). Fast
+    regex tokenizer for the clean-HTML subset; transparent fallback
+    to html.parser (the reference semantics) on anything unusual."""
+    try:
+        return _fast_tree(html_str)
+    except _Fallback:
+        tb = _TreeBuilder()
+        tb.feed(html_str)
+        tb.close()
+        return tb.root
+
+
+def parse_tree_slow(html_str: str) -> _Node:
+    """html.parser reference path (differential-test oracle)."""
     tb = _TreeBuilder()
     tb.feed(html_str)
     tb.close()
@@ -211,10 +351,8 @@ def extract_html(html_str: str) -> dict:
     Returns href strings and document-order link tuples; URL
     resolution against the base address happens in the caller (it
     needs canon.resolve_address)."""
-    tb = _TreeBuilder()
-    tb.feed(html_str)
-    tb.close()
-    nodes = _walk(tb.root)[1:]  # skip #root
+    root = parse_tree(html_str)
+    nodes = _walk(root)[1:]  # skip #root
 
     title_n = _first(nodes, "title")
     h1_n = _first(nodes, "h1")
@@ -247,7 +385,7 @@ def extract_html(html_str: str) -> dict:
         # implied body: all text outside <head>
         head = _first(nodes, "head")
         head_text = _text(head) if head is not None else ""
-        all_text = _text(tb.root)
+        all_text = _text(root)
         body_text = all_text.replace(head_text, "", 1) if head_text else all_text
 
     return {

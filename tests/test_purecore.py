@@ -92,6 +92,123 @@ def test_scrape_helper_api_parity():
     assert [n.tag for n in htmlex.nodes_by_tag_name("p", root)] == ["p", "p"]
 
 
+def _tree_norm(node):
+    """Comparable form of a parse tree: (tag, attrs, children) with
+    adjacent string children merged (data segmentation is parser-
+    internal; only the concatenation is observable via text())."""
+    out = []
+    buf = []
+    for c in node.children:
+        if isinstance(c, str):
+            buf.append(c)
+        else:
+            if buf:
+                out.append("".join(buf))
+                buf = []
+            out.append(_tree_norm(c))
+    if buf:
+        out.append("".join(buf))
+    return (node.tag, dict(node.attrs), out)
+
+
+def test_fast_parser_differential():
+    """The regex fast path must build the IDENTICAL tree html.parser
+    builds, or fall back — never silently diverge. Edge corpus +
+    randomized structured documents."""
+    import random
+
+    corpus = [
+        "",
+        "plain text only",
+        "a < b and c > d &amp; e &lt;f&gt;",
+        "<p>x</p>",
+        "<P CLASS='A'>x</P>",  # case folding
+        '<a href="/x" rel=nofollow>y</a>',
+        "<a href=/a/>slash-value</a>",  # unquoted value eats the slash
+        "<br/><br /><input disabled><img src=x>",
+        "<div/>not-pushed-after-xhtml-self-close",
+        "<!doctype html><html><body><h1>t</h1></body></html>",
+        "<!-- comment --><p>after</p>",
+        "<!-- tolerant close --  ><p>a</p>",  # _markupbase closes on --\s*>
+        "<script>if (a < b) { x = '&amp;'; }</script><p>t</p>",
+        "<style>a > b { color: red }</style>ok",
+        "<script type=module>let x=1;</script>",
+        "<ul><li>a<li>b</ul>tail",  # unclosed li repair
+        "<b><i>nest</b>cross</i>",
+        "<p>trailing lt <",
+        "<p>empty attr q=''<a href=''>e</a></p>",
+        "<meta name=description content='Desc &quot;here&quot;'>",
+        "<a href='#f&aring;'>ent in attr</a>",
+        "text &notanentity; more",
+        "<td nowrap>bare</td>",
+        "<p><!-- unterminated comment",
+        "<a href='<'>lt-in-attr</a>",  # fallback path
+        "<?php echo 1 ?><p>pi</p>",
+        "<![CDATA[raw]]><p>m</p>",  # marked section -> fallback
+        "<foo:bar x:y='1'>ns-ish</foo:bar>",
+        "<h1 id=a id=b>dup attr</h1>",
+    ]
+    rng = random.Random(42)
+    tags = ["div", "p", "a", "span", "b", "li", "h1", "script", "br", "img"]
+    texts = ["x", "a & b", "4 < 5", "&amp;", " ", "tail&gt;", "&#65;bc"]
+    attrs = ['', ' class="c one"', " href=/r", " id='i'", " disabled",
+             ' data-x="1 &lt; 2"', " a=1 b=2"]
+
+    def gen(depth):
+        if depth <= 0 or rng.random() < 0.3:
+            return rng.choice(texts)
+        t = rng.choice(tags)
+        a = rng.choice(attrs)
+        if t == "br":
+            return f"<br{a}>"
+        if t == "img":
+            return f"<img{a}/>"
+        inner = "".join(gen(depth - 1) for _ in range(rng.randint(0, 3)))
+        if t == "script":
+            inner = "var a = b < c && d;"
+        close = "" if rng.random() < 0.1 else f"</{t}>"
+        return f"<{t}{a}>{inner}{close}"
+
+    corpus += ["".join(gen(4) for _ in range(rng.randint(1, 5))) for _ in range(300)]
+
+    n_fast = 0
+    for doc in corpus:
+        slow = _tree_norm(htmlex.parse_tree_slow(doc))
+        try:
+            fast = _tree_norm(htmlex._fast_tree(doc))
+        except htmlex._Fallback:
+            continue  # fallback is always safe: parse_tree uses slow
+        n_fast += 1
+        assert fast == slow, doc
+        # and the public entry point agrees with the reference path
+        assert _tree_norm(htmlex.parse_tree(doc)) == slow, doc
+    # the fast path must actually cover the clean-HTML bulk
+    assert n_fast >= len(corpus) * 0.8, n_fast
+
+
+def test_fast_parser_differential_hypothesis():
+    """Property: for ANY string, the fast tokenizer either falls back
+    or produces html.parser's exact tree."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    soup = st.text(
+        alphabet=st.sampled_from(list("<>&\"'=/ abc!-;#?xA1\n\tscript")),
+        max_size=80,
+    )
+
+    @settings(max_examples=400, deadline=None)
+    @given(soup)
+    def prop(doc):
+        try:
+            fast = _tree_norm(htmlex._fast_tree(doc))
+        except htmlex._Fallback:
+            return
+        assert fast == _tree_norm(htmlex.parse_tree_slow(doc)), repr(doc)
+
+    prop()
+
+
 def test_extract_first_match_semantics():
     ex = htmlex.extract_html(SIMPLE)
     # Query = QueryAll[0] (scrape.go:26-33)
