@@ -35,7 +35,7 @@ __all__ = [
     "exact_dedup", "minhash_signatures", "minhash_lsh_pairs",
     "lsh_verified_pairs", "ngram_jaccard_pairs", "simhash",
     "simhash_neardup", "embedding_neardup", "embedding_neardup_ivf",
-    "dup_labels", "dup_clusters", "dedup_materialize",
+    "cc_labels", "dup_labels", "dup_clusters", "dedup_materialize",
 ]
 
 _WS = r"\s+"
@@ -338,16 +338,16 @@ def embedding_neardup_ivf(
     )
 
 
-def dup_labels(docs: DataFrame, n_perm: int = 16, bands: int = 4,
-               shingle_words: int = 2, max_iters: int = 20) -> DataFrame:
-    """(doc_id, label) for every doc that appears in the minhash-LSH
-    near-dup graph, where label = the component's min doc_id (the
-    canonical 'keep' doc). Connected components via iterative
+def cc_labels(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
+    """Connected components over an undirected pair graph
+    (``doc_a``, ``doc_b`` columns, any orderable id type): returns
+    (doc_id, label) where label = the component's min id. Iterative
     min-label propagation — one hash-join + min-agg per round,
     O(diameter) rounds, the standard large-scale CC shape (driver
     loop; each round persists and breaks lineage). Deterministic
-    fixpoint -> DuckDB-oracle-checkable via a recursive CTE."""
-    pairs = minhash_lsh_pairs(docs, n_perm, bands, shingle_words).select("doc_a", "doc_b")
+    fixpoint -> DuckDB-oracle-checkable via a recursive CTE. Shared
+    by the text near-dup pipeline (dup_labels) and the image phash
+    pipeline (multimodal.image_dedup_materialize)."""
     edges = pairs.unionByName(
         pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
     ).persist()
@@ -395,7 +395,16 @@ def dup_labels(docs: DataFrame, n_perm: int = 16, bands: int = 4,
     labels.write.mode("overwrite").parquet(out_path)
     edges.unpersist()
     labels.unpersist()
-    return docs.sparkSession.read.parquet(out_path)
+    return pairs.sparkSession.read.parquet(out_path)
+
+
+def dup_labels(docs: DataFrame, n_perm: int = 16, bands: int = 4,
+               shingle_words: int = 2, max_iters: int = 20) -> DataFrame:
+    """(doc_id, label) for every doc that appears in the minhash-LSH
+    near-dup graph, where label = the component's min doc_id (the
+    canonical 'keep' doc) — cc_labels over the LSH pair graph."""
+    pairs = minhash_lsh_pairs(docs, n_perm, bands, shingle_words).select("doc_a", "doc_b")
+    return cc_labels(pairs, max_iters)
 
 
 def dup_clusters(docs: DataFrame, n_perm: int = 16, bands: int = 4,

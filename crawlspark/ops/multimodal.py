@@ -20,7 +20,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-__all__ = ["decode_stats", "image_features", "phash_neardup", "frame_sample"]
+__all__ = ["decode_stats", "image_features", "phash_neardup",
+           "image_dedup_materialize", "frame_sample"]
 
 _STATS_SCHEMA = T.StructType(
     [
@@ -286,3 +287,30 @@ def frame_sample(videos: DataFrame, every_n: int = 10) -> DataFrame:
         yield  # pragma: no cover
 
     return videos.mapInPandas(fn, schema)
+
+
+def image_dedup_materialize(
+    images: DataFrame, max_hamming: int = 7, bands: int = 8
+) -> DataFrame:
+    """The image-payload dedup pipeline output (the docs pipeline's
+    dedup_materialize twin): phash near-dup pairs (banded blocking,
+    exact recall for max_hamming < bands) -> connected components
+    (ops/dedup.cc_labels min-label propagation) -> survivors = every
+    image except non-canonical cluster members (keeper = min
+    image_id). The training-data use: one representative per visual
+    near-dup cluster before captions enter the corpus."""
+    from .dedup import cc_labels
+
+    pairs = phash_neardup(images, max_hamming=max_hamming, bands=bands).select(
+        F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b")
+    )
+    dropped = (
+        cc_labels(pairs)
+        .filter(F.col("doc_id") != F.col("label"))
+        .select(F.col("doc_id").alias("image_id"))
+    )
+    return (
+        images.join(dropped, "image_id", "left_anti")
+        .select("image_id", "w", "h", "fmt", "phash")
+        .orderBy("image_id")
+    )

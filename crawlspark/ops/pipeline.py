@@ -1,0 +1,49 @@
+"""End-to-end training-data pipeline composition.
+
+The individual operators (ops/text quality + language-ID, ops/dedup
+near-dup materialization) are each oracle-checked standalone; this
+module composes them in the order a real pretraining pipeline runs
+them — cheap narrow filters FIRST, the expensive dedup LAST over the
+reduced corpus — and the composition itself is oracle-checked as the
+`docs_training_corpus` CORRECTNESS row (__spark_entry__.py).
+
+Scale shape: the quality and language filters are narrow per-row
+column expressions / one Arrow pass (no shuffle), so at 100 TB they
+cut the corpus before the shingle shuffle and the band groupBy ever
+see it — filter-then-dedup is orders of magnitude cheaper than
+dedup-then-filter and is why the composition exists as an operator
+instead of leaving users to stitch the stages themselves.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import dedup_materialize
+from .text import _WS, langid
+
+__all__ = ["training_corpus"]
+
+
+def training_corpus(
+    docs: DataFrame,
+    min_tokens: int = 40,
+    langs: tuple[str, ...] = ("en", "de"),
+    n_perm: int = 16,
+    bands: int = 4,
+    shingle_words: int = 2,
+) -> DataFrame:
+    """The surviving training corpus: docs with at least
+    ``min_tokens`` whitespace tokens, language-ID'd into ``langs``,
+    near-dup deduplicated (each cluster keeps its min-doc_id member).
+    Returns (doc_id, source, n_chars_calc) like dedup_materialize."""
+    toks = F.split(F.trim("text"), _WS)
+    kept = docs.filter(F.size(toks) >= min_tokens)
+    lid = (
+        langid(docs)
+        .filter(F.col("lang_pred").isin(*langs))
+        .select("doc_id")
+    )
+    kept = kept.join(lid, "doc_id")
+    return dedup_materialize(kept, n_perm, bands, shingle_words)
