@@ -59,6 +59,7 @@ class CrawlConfig:
     canon_mode: str = "go-parity"  # or "extended"
     shuffle_partitions: int = 32
     bloom_prefilter: bool = True
+    seen_filter: str = "bloom"  # or "cuckoo" (deletion-capable; north_rule "bloom/cuckoo")
     bloom_bits_per_shard: int = 1 << 20
     bloom_shards: int = 32
     bloom_hashes: int = 5

@@ -243,9 +243,24 @@ class SparkCrawler:
         self.workdir = workdir or scratch.scratch_dir(prefix="crawlspark-")
         self.store = SnapshotStore(spark, self.workdir)
         self.check_payload = check_payload
-        self.bloom_cfg = bloomfilter.BloomConfig(
-            cfg.bloom_shards, cfg.bloom_bits_per_shard, cfg.bloom_hashes
-        )
+        # pluggable seen-prefilter backend (north_rule "bloom/cuckoo"):
+        # same mark/probe/empty_bits_df interface, same snapshot
+        # persistence; cuckoo adds delete() for re-crawl expiry.
+        if cfg.seen_filter == "cuckoo":
+            from . import cuckoofilter
+
+            self.seenfilter = cuckoofilter
+            # size for the same per-shard key capacity as the bloom
+            # bits at ~10 bits/key: 4-slot buckets, power of two
+            buckets = 2 ** max(8, (cfg.bloom_bits_per_shard // 32).bit_length() - 1)
+            self.bloom_cfg = cuckoofilter.CuckooConfig(cfg.bloom_shards, buckets)
+        elif cfg.seen_filter == "bloom":
+            self.seenfilter = bloomfilter
+            self.bloom_cfg = bloomfilter.BloomConfig(
+                cfg.bloom_shards, cfg.bloom_bits_per_shard, cfg.bloom_hashes
+            )
+        else:
+            raise ValueError(f"unknown seen_filter {cfg.seen_filter!r}")
         # the "web": pages keyed by fragmentless canonical url
         self.pages = pages_df
         if images_df is not None:
@@ -448,7 +463,7 @@ class SparkCrawler:
         if seen is None:
             return cand
         if self.cfg.bloom_prefilter and bits is not None:
-            probed = bloomfilter.probe(cand, bits, "url_key", self.bloom_cfg)
+            probed = self.seenfilter.probe(cand, bits, "url_key", self.bloom_cfg)
             fresh = probed.filter(~F.col("_maybe_seen")).drop("_maybe_seen", "_h64", "_shard")
             maybe = probed.filter(F.col("_maybe_seen")).drop("_maybe_seen", "_h64", "_shard")
             verified = maybe.join(seen.select("url_key"), "url_key", "left_anti")
@@ -486,9 +501,9 @@ class SparkCrawler:
             # was marked seen at enqueue time, crawler.go:143-145 +
             # 240-247), so seen(d) = url_keys of frontier waves 0..d.
             if cfg.bloom_prefilter and info["rows"] >= cfg.bloom_min_seen:
-                bits = bloomfilter.mark(
+                bits = self.seenfilter.mark(
                     frontier.select("url_key"),
-                    bloomfilter.empty_bits_df(self.spark, self.bloom_cfg),
+                    self.seenfilter.empty_bits_df(self.spark, self.bloom_cfg),
                     "url_key", self.bloom_cfg,
                 )
                 store.stage("bloom", bits, 0, manifest_wave=-1)
@@ -710,7 +725,7 @@ class SparkCrawler:
                 if bits is not None:
                     # active: fold only the delta into the bits
                     new_urls = spark.read.parquet(*info["files"]).select("url_key")
-                    bits2 = bloomfilter.mark(
+                    bits2 = self.seenfilter.mark(
                         new_urls, self._latest_bloom(), "url_key", self.bloom_cfg
                     )
                     store.stage("bloom", bits2, d + 1, manifest_wave=d)
@@ -725,9 +740,9 @@ class SparkCrawler:
                         if seen is None
                         else seen.select("url_key").unionByName(new_urls)
                     )
-                    bits2 = bloomfilter.mark(
+                    bits2 = self.seenfilter.mark(
                         all_urls,
-                        bloomfilter.empty_bits_df(spark, self.bloom_cfg),
+                        self.seenfilter.empty_bits_df(spark, self.bloom_cfg),
                         "url_key",
                         self.bloom_cfg,
                     )
@@ -757,7 +772,7 @@ class SparkCrawler:
             info = m["tables"].get("bloom")
             if info:
                 return self.spark.read.parquet(*info["files"]).select("shard", "bits")
-        return bloomfilter.empty_bits_df(self.spark, self.bloom_cfg)
+        return self.seenfilter.empty_bits_df(self.spark, self.bloom_cfg)
 
     # ------------------------------------------------------------------
 

@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 __all__ = ["decode_stats", "image_features", "phash_neardup",
-           "image_dedup_materialize", "frame_sample"]
+           "image_dedup_materialize", "caption_stats", "frame_sample"]
 
 _STATS_SCHEMA = T.StructType(
     [
@@ -314,3 +314,23 @@ def image_dedup_materialize(
         .select("image_id", "w", "h", "fmt", "phash")
         .orderBy("image_id")
     )
+
+
+def caption_stats(images: DataFrame) -> DataFrame:
+    """Caption-side quality features for the image+caption corpus
+    (input_hint: the caption column is half the payload): token
+    count, char length, vocabulary diversity (distinct-token ratio),
+    and whether the caption embeds its own image_id (a synthetic-data
+    artifact a real filter would strip). Pure column expressions —
+    one narrow pass, no shuffle, same scale shape as ops/text."""
+    toks = F.split(F.trim("caption"), r"\s+")
+    n_tok = F.size(toks)
+    return images.select(
+        "image_id",
+        F.length("caption").alias("n_chars"),
+        n_tok.alias("n_tokens"),
+        F.round(
+            F.size(F.array_distinct(toks)) / F.greatest(n_tok, F.lit(1)), 4
+        ).alias("distinct_ratio"),
+        F.col("caption").contains(F.col("image_id")).alias("has_id_leak"),
+    ).orderBy("image_id")

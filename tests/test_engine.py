@@ -440,6 +440,83 @@ def test_bloom_prefilter_correctness(spark, tmp_path):
     assert outs["on"] == outs["off"] == outs["lazy"]
 
 
+def test_cuckoo_seen_filter_correctness(spark, tmp_path):
+    """seen_filter='cuckoo': same emitted rows and seen-set as the
+    bloom backend and as no-prefilter — the cuckoo filter is the
+    deletion-capable alternative the north rule names, wired through
+    the same mark/probe interface (engine.seenfilter)."""
+    pages_pdf, robots_pdf, seeds = testkit.nice_site(branching=4, max_id_len=3)
+    outs = {}
+    for mode, backend, min_seen in (
+        ("cuckoo", "cuckoo", 0), ("off", "bloom", 10**9)
+    ):
+        cfg = CrawlConfig(From=seeds, MaxDepth=2, RespectNofollow=True,
+                          seen_filter=backend, bloom_prefilter=True,
+                          bloom_shards=4, bloom_min_seen=min_seen,
+                          bloom_bits_per_shard=1 << 12)
+        c = SparkCrawler(
+            spark, cfg,
+            testkit.pages_to_spark(spark, pages_pdf),
+            testkit.robots_to_spark(spark, robots_pdf),
+            workdir=str(tmp_path / f"cuckoo-{mode}"),
+        )
+        c.run()
+        if mode == "cuckoo":
+            assert c._bloom_active(), "cuckoo state must be marked from wave 0"
+        outs[mode] = (
+            sorted(tuple(r) for r in c.results().select("Depth", "Priority", "UrlKey").collect()),
+            {r["url_key"] for r in c.seen().collect()},
+        )
+    assert outs["cuckoo"] == outs["off"]
+
+
+def test_cuckoo_filter_unit(spark):
+    """Cuckoo filter semantics: no false negatives after mark,
+    delete() removes membership, overflow degrades to maybe-seen for
+    everything (never a false negative), state is deterministic."""
+    from crawlspark import cuckoofilter as cf
+
+    cfg = cf.CuckooConfig(n_shards=4, buckets_per_shard=1 << 8)
+    urls = spark.createDataFrame(
+        [(f"http://h{i}.test/p{i}",) for i in range(300)], "url_key string"
+    )
+    bits = cf.mark(urls, cf.empty_bits_df(spark, cfg), "url_key", cfg)
+    probed = cf.probe(urls, bits, "url_key", cfg)
+    assert probed.filter("NOT _maybe_seen").count() == 0  # no false negatives
+
+    # unseen urls: mostly definite misses (16-bit fps, tiny fill)
+    other = spark.createDataFrame(
+        [(f"http://other{i}.test/x",) for i in range(300)], "url_key string"
+    )
+    miss = cf.probe(other, bits, "url_key", cfg).filter("NOT _maybe_seen").count()
+    assert miss >= 290, miss
+
+    # delete: membership gone (cuckoo's edge over bloom)
+    half = urls.limit(150)
+    bits2 = cf.delete(half, bits, "url_key", cfg)
+    gone = cf.probe(half, bits2, "url_key", cfg).filter("_maybe_seen").count()
+    assert gone <= 5, gone  # only fp-collisions with surviving keys remain
+    still = urls.subtract(half)
+    assert cf.probe(still, bits2, "url_key", cfg).filter("NOT _maybe_seen").count() == 0
+
+    # determinism: same input -> identical shard bytes
+    a = {r["shard"]: r["bits"] for r in cf.mark(
+        urls, cf.empty_bits_df(spark, cfg), "url_key", cfg).collect()}
+    b = {r["shard"]: r["bits"] for r in bits.collect()}
+    assert a == b
+
+    # overflow: cram >> capacity into 4 tiny shards -> overflowed
+    # shards answer maybe-seen for EVERYTHING (degraded, never wrong)
+    tiny = cf.CuckooConfig(n_shards=2, buckets_per_shard=4)
+    many = spark.createDataFrame(
+        [(f"http://o{i}.test/{i}",) for i in range(200)], "url_key string"
+    )
+    tb = cf.mark(many, cf.empty_bits_df(spark, tiny), "url_key", tiny)
+    assert any(r["bits"][0] == 1 for r in tb.collect()), "expected overflow"
+    fresh = spark.createDataFrame([("http://never.test/",)], "url_key string")
+    assert cf.probe(fresh, tb, "url_key", tiny).collect()[0]["_maybe_seen"] is True
+
+
 def test_pacing_enabled_smoke(spark, tmp_path):
     """pacing_enabled sleeps per host group but never changes the
     emitted set (reference WaitTime analog, state.go:29-41)."""
