@@ -164,6 +164,49 @@ def test_cli_sitemap_skips_cross_host_children(tmp_path):
     assert "host-only" in out.stderr
 
 
+def test_spark_submit_pyfiles_e2e(tmp_path):
+    """The deployment path the north rule names: `spark-submit
+    --py-files <zip> scripts/submit_crawl.py` run from OUTSIDE the
+    repo, so crawlspark is importable ONLY from the shipped zip (the
+    real-cluster layout). Result count must match the sequential
+    oracle for the same config."""
+    import json as _json
+    import os
+
+    from crawlspark import oracle, testkit
+    from crawlspark.config import CrawlConfig
+    from crawlspark.shipping import make_pyfiles_zip
+
+    pages_pdf, robots_pdf, seeds = testkit.matrix_site()
+    cfg = CrawlConfig(From=seeds, MaxDepth=1, RespectNofollow=False)
+    pages = {r["url"]: r for r in pages_pdf.to_dict("records")}
+    rob = {
+        (r["scheme"], r["host"]): (r["status_code"], r["body"])
+        for r in robots_pdf.to_dict("records")
+    }
+    results, _seen, _ = oracle.crawl_oracle(cfg, pages, rob)
+
+    cfgp = tmp_path / "cfg.json"
+    cfgp.write_text(_json.dumps(
+        {"From": seeds, "MaxDepth": 1, "RespectNofollow": False}
+    ))
+    zip_path = make_pyfiles_zip(str(tmp_path / "crawlspark-pyfiles.zip"))
+    env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
+    out = subprocess.run(
+        ["/opt/spark/bin/spark-submit", "--master", "local[4]",
+         "--conf", "spark.ui.enabled=false",
+         "--conf", "spark.sql.shuffle.partitions=4",
+         "--py-files", zip_path,
+         "/root/repo/scripts/submit_crawl.py", str(cfgp)],
+        capture_output=True, text=True, cwd=str(tmp_path), env=env, timeout=420,
+    )
+    assert out.returncode == 0, out.stderr[-3000:]
+    lines = out.stdout.splitlines()
+    n = next(int(l.split()[1]) for l in lines if l.startswith("RESULTS"))
+    assert n == len(results), (n, len(results))
+    assert any(l.startswith("METRICS") for l in lines)
+
+
 def test_streaming_event_windows(spark, tmp_path):
     """Append-mode windowed agg: every real window finalizes exactly
     once after the flush sentinel pushes the watermark past it, and
