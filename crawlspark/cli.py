@@ -113,7 +113,13 @@ def main(argv: list[str] | None = None) -> int:
             if "://" in p:
                 host, _, path = p.split("://", 1)[1].partition("/")
                 if anchor["host"] is None:
+                    # EXPLICIT anchor rule: first loc of the root
+                    # sitemap wins (announced, so a hostile ordering
+                    # is at least visible — the sandbox fetcher has
+                    # no out-of-band trust root to prefer)
                     anchor["host"] = host
+                    print(f"sitemap: anchoring local fetch to host {host!r}",
+                          file=sys.stderr)
                 if host != anchor["host"]:
                     print(
                         f"sitemap: skipping cross-host loc {loc!r}"

@@ -23,8 +23,10 @@ exactness contract (prefilter only skips the anti-join for
 definitely-new URLs; SURVEY.md §7.4.1) holds at any fill level.
 
 Probe/fingerprint math is vectorized numpy over the JVM-computed
-hash columns; only the eviction chain of a colliding insert walks
-keys one at a time (rare by design at the target ≤80% fill)."""
+hash columns. Inserts run a vectorized bulk phase (one numpy pass
+per slot column places every key whose bucket 1 has room); only keys
+whose primary bucket is full — the minority at the target ≤80% fill —
+walk the per-key cuckoo eviction chain."""
 
 from __future__ import annotations
 
@@ -129,8 +131,24 @@ def mark(new_urls: DataFrame, bits_df: DataFrame, url_col: str, cfg: CuckooConfi
             shard = int(bdf["shard"].iloc[0])
             overflow, table = _load(bdf["bits"].iloc[0], n_buckets)
         if not udf_.empty and not overflow:
-            fp, i1, i2 = _fp_and_buckets(udf_["_h64"].to_numpy(), n_buckets)
-            for k in range(len(fp)):
+            fp, i1, _ = _fp_and_buckets(udf_["_h64"].to_numpy(), n_buckets)
+            # bulk phase: place keys straight into bucket-1 free slots
+            # with vectorized numpy — one pass per slot column, first
+            # unplaced key per bucket wins the round. Only keys whose
+            # bucket 1 is full (or lost an in-batch bucket race) fall
+            # to the per-key cuckoo insert below.
+            unplaced = np.arange(len(fp))
+            for s in range(SLOTS):
+                if not len(unplaced):
+                    break
+                i1u = i1[unplaced]
+                _, first_idx = np.unique(i1u, return_index=True)
+                winner = np.zeros(len(unplaced), dtype=bool)
+                winner[first_idx] = True
+                take = winner & (table[i1u, s] == 0)
+                table[i1u[take], s] = fp[unplaced[take]]
+                unplaced = unplaced[~take]
+            for k in unplaced:
                 overflow = not _insert_one(table, int(fp[k]), int(i1[k]), n_buckets)
                 if overflow:
                     break
@@ -144,7 +162,12 @@ def mark(new_urls: DataFrame, bits_df: DataFrame, url_col: str, cfg: CuckooConfi
 
 
 def _partner(i: int, f: int, n_buckets: int) -> int:
-    return (i ^ int((np.uint64(f) * _FP_MIX) >> np.uint64(32))) & (n_buckets - 1)
+    # plain-int math: a numpy SCALAR multiply would raise
+    # RuntimeWarning on the (expected, harmless) 64-bit wraparound,
+    # which warnings-as-errors harnesses promote to task failures;
+    # the value is identical to _fp_and_buckets' wrapping array math
+    mixed = ((f * 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF) >> 32
+    return (i ^ mixed) & (n_buckets - 1)
 
 
 def _insert_one(table: np.ndarray, f: int, i1: int, n_buckets: int) -> bool:

@@ -111,10 +111,12 @@ def _text(node) -> str:
 
 
 def _first(nodes, tag, attrs=None):
+    # same presence-sensitive matcher as the public Query API
+    # (_match_attribute) so the two can't diverge on value-less attrs
     for n in nodes:
         if n.tag != tag:
             continue
-        if attrs and any(n.attrs.get(k) != v for k, v in attrs.items()):
+        if attrs and not all(_match_attribute(k, v, n) for k, v in attrs.items()):
             continue
         return n
     return None

@@ -166,7 +166,11 @@ def minhash_lsh_pairs(
     )
     # all i<j member pairs per bucket; the lambdas reference only the
     # bound `ms` attribute (cheap per-element), never a recomputed
-    # expression — see _shingles for why that distinction matters
+    # expression — see _shingles for why that distinction matters.
+    # No self-pairs possible: minhash_signatures groupBys doc_id (one
+    # sig per id even for duplicate input rows) and banded emits one
+    # row per (doc_id, band), so a doc_id appears at most once per
+    # bucket and strict i<j matches the old join's doc_a < doc_b.
     ms = F.col("ms")
     pairs_arr = F.flatten(
         F.transform(

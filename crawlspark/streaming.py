@@ -163,6 +163,32 @@ def stateful_host_counter(
     )
 
 
+def parquet_parts(path: str) -> list[str]:
+    """Data part files of a parquet directory (no _SUCCESS/metadata)."""
+    import os
+
+    return sorted(
+        os.path.join(path, f) for f in os.listdir(path)
+        if f.endswith(".parquet") and not f.startswith(("_", "."))
+    )
+
+
+def bump_sentinel_mtime(path: str, before: set[str], bump: float = 10.0) -> None:
+    """FileStreamSource orders micro-batches by file MODIFICATION
+    TIME: two back-to-back writes can land in the same timestamp
+    granularity, which would let a watermark-flush sentinel process
+    BEFORE the data it is meant to flush (dropping every real row as
+    late). Explicitly set each new file's mtime past the existing
+    files' max so the ordering is pinned, not accidental."""
+    import os
+
+    olds = [os.path.getmtime(p) for p in before] or [0.0]
+    target = max(olds) + bump
+    for p in parquet_parts(path):
+        if p not in before:
+            os.utime(p, (target, target))
+
+
 def drain(query) -> DataFrame:
     """Drive a file-source streaming query to completion (tests)."""
     query.processAllAvailable()

@@ -14,7 +14,6 @@ shipped --py-files zip, exactly as on a real cluster.
 
 import json
 import sys
-import tempfile
 
 from pyspark.sql import SparkSession
 
@@ -44,7 +43,11 @@ def main():
         pages = pages_to_spark(spark, pages_pdf)
         robots = robots_to_spark(spark, robots_pdf)
 
-    crawler = SparkCrawler(spark, cfg, pages, robots, workdir=tempfile.mkdtemp())
+    # atexit-cleaned scratch dir (ADVICE r02: mkdtemp here leaked a
+    # full snapshot store in /tmp per spark-submit run)
+    from crawlspark import scratch
+
+    crawler = SparkCrawler(spark, cfg, pages, robots, workdir=scratch.scratch_dir())
     crawler.run()
     print("METRICS " + json.dumps(crawler.store.metrics()))
     n = crawler.results().count()

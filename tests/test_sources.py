@@ -220,6 +220,7 @@ def test_streaming_event_windows(spark, tmp_path):
     events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
     path = str(tmp_path / "events")
     events.coalesce(1).write.parquet(path)
+    before = set(streaming.parquet_parts(path))
     flush = events.select(
         (F.max("ts") + F.expr("INTERVAL 4 HOURS")).alias("ts"),
         F.lit("__flush__").alias("event_type"),
@@ -228,6 +229,9 @@ def test_streaming_event_windows(spark, tmp_path):
         if c not in ("ts", "event_type"):
             flush = flush.withColumn(c, F.lit(None).cast(events.schema[c].dataType))
     flush.select(*events.columns).coalesce(1).write.mode("append").parquet(path)
+    # pin sentinel AFTER events in mtime order (FileStreamSource sorts
+    # by mtime; a tie could flush-then-drop every real event)
+    streaming.bump_sentinel_mtime(path, before)
     q = streaming.stream_event_windows(
         spark, path, events.schema, query_name="ew_test", max_files_per_trigger=1
     )
