@@ -198,3 +198,45 @@ def link_graph(crawl: DataFrame) -> DataFrame:
         )
         .orderBy("Source", "Target", "Anchor")
     )
+
+
+def graph_depths(crawl: DataFrame, host: str, root: str = "/", max_iters: int = 20) -> DataFrame:
+    """notebook `calculate_depths` (Analysis with crawl.ipynb cell 24):
+    recompute BFS depth per path from the link graph rooted at
+    ``root``, restricted to ``host`` — the reference does this as a
+    driver-side deque loop over a pandas frame; here it is iterative
+    min-depth propagation over the edge DataFrame (one hash-join +
+    min-agg per round, O(eccentricity) rounds — the same distributed
+    loop shape as ops/dedup.cc_labels, so it scales to link graphs
+    that never fit one machine). Fixpoint is detected by (node count,
+    total depth) stabilizing — both monotone under min-propagation.
+    DuckDB twin: bounded recursive-CTE walk with min() per node."""
+    edges = (
+        crawl.filter(F.col("Address.Host") == host)
+        .select(F.col("Address.Path").alias("src"), F.explode("Links").alias("l"))
+        .filter(F.col("l.Address.Host") == host)
+        .select("src", F.col("l.Address.Path").alias("dst"))
+        .distinct()
+        .persist()
+    )
+    spark = crawl.sparkSession
+    depths = spark.createDataFrame([(root, 0)], "node string, depth int")
+    prev = (1, 0)
+    for _ in range(max_iters):
+        nxt = (
+            depths.join(edges, depths["node"] == edges["src"])
+            .select(F.col("dst").alias("node"), (F.col("depth") + 1).alias("depth"))
+        )
+        depths = (
+            depths.unionByName(nxt)
+            .groupBy("node")
+            .agg(F.min("depth").alias("depth"))
+            .persist()
+        )
+        agg = depths.agg(F.count("*"), F.sum("depth")).collect()[0]
+        cur = (agg[0], agg[1])
+        if cur == prev:
+            break
+        prev = cur
+    edges.unpersist()
+    return depths.orderBy("depth", "node")
