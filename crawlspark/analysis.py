@@ -221,6 +221,7 @@ def graph_depths(crawl: DataFrame, host: str, root: str = "/", max_iters: int = 
     )
     spark = crawl.sparkSession
     depths = spark.createDataFrame([(root, 0)], "node string, depth int")
+    prev_frame = None
     prev = (1, 0)
     for _ in range(max_iters):
         nxt = (
@@ -234,9 +235,22 @@ def graph_depths(crawl: DataFrame, host: str, root: str = "/", max_iters: int = 
             .persist()
         )
         agg = depths.agg(F.count("*"), F.sum("depth")).collect()[0]
+        if prev_frame is not None:
+            prev_frame.unpersist()
+        prev_frame = depths
         cur = (agg[0], agg[1])
         if cur == prev:
             break
         prev = cur
+    # spill + release loop caches (cc_labels pattern: a long-lived
+    # driver session must not accumulate per-call cache entries, and
+    # consumers must not re-run the iterative joins)
+    import os
+
+    from .scratch import scratch_dir
+
+    out = os.path.join(scratch_dir(prefix="crawlspark-bfs-"), "depths")
+    depths.write.mode("overwrite").parquet(out)
     edges.unpersist()
-    return depths.orderBy("depth", "node")
+    depths.unpersist()
+    return spark.read.parquet(out).orderBy("depth", "node")
