@@ -112,6 +112,45 @@ def stream_event_windows(
     )
 
 
+def stream_exact_dedup(
+    spark: SparkSession,
+    docs_path: str,
+    schema,
+    watermark: str = "2 hours",
+    query_name: str = "stream_dedup",
+    max_files_per_trigger: int | None = None,
+):
+    """Streaming exact dedup: emit each distinct content hash's FIRST
+    arrival, dropping later duplicates that arrive within the
+    watermark (dropDuplicatesWithinWatermark — per-key state is
+    EVICTED once the watermark passes its event time, so state is
+    bounded by the distinct-key arrival rate × watermark, not by
+    stream length). This is the streaming half of ops/dedup.
+    exact_dedup: a training-data ingest pipeline dedups the firehose
+    BEFORE it lands, then the batch near-dup pipeline handles the
+    rest. Append mode: rows are final when emitted."""
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    stream = reader.parquet(docs_path)
+    stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    deduped = (
+        stream.withColumn("content_hash", F.md5(F.encode(F.col("text"), "utf-8")))
+        .withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark(["content_hash"])
+        # WHICH duplicate row survives depends on partition/arrival
+        # order (nondeterministic within a micro-batch); the distinct
+        # hash SET is deterministic, so that is the contract
+        .select("content_hash")
+    )
+    return (
+        deduped.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+
+
 def stateful_host_counter(
     spark: SparkSession,
     results_glob: str,
