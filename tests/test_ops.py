@@ -63,6 +63,32 @@ def test_phash_neardup_blocked_equals_exact_no_crossjoin(spark, images):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_dedup_plans_stay_bucketed(spark):
+    """Plan guards for the round-3 dedup shapes: minhash LSH pairs
+    must be one gram shuffle + one band groupBy (no self-join, no
+    cartesian), and the inverted-index ngram Jaccard must join only
+    on (block, gram) equi-keys — future edits can't silently
+    reintroduce an all-pairs or double-lineage shape."""
+    from crawlspark.ops import dedup
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+
+    mh = dedup.minhash_lsh_pairs(docs)
+    plan = mh._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan, (
+        "LSH pairs must come from the bucket groupBy, not a self-join"
+    )
+    # the documents parquet is scanned exactly once (single sig pass)
+    assert plan.count("FileScan parquet") == 1, plan.count("FileScan parquet")
+
+    nj = dedup.ngram_jaccard_pairs(docs, threshold=0.08)
+    nplan = nj._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in nplan
+    assert "BroadcastNestedLoopJoin" not in nplan
+
+
 def test_banded_blocking_rejects_unsound_threshold(spark, images):
     from crawlspark.ops import dedup, multimodal
 
