@@ -20,7 +20,7 @@ from pyspark.sql.window import Window
 __all__ = [
     "duplicate_body", "duplicate_title", "inlinks", "hreflang_reciprocity",
     "noindex", "self_canonical", "sf_emulation", "status_histogram",
-    "depth_histogram", "link_graph",
+    "depth_histogram", "link_graph", "graph_depths",
 ]
 
 
@@ -242,15 +242,9 @@ def graph_depths(crawl: DataFrame, host: str, root: str = "/", max_iters: int = 
         if cur == prev:
             break
         prev = cur
-    # spill + release loop caches (cc_labels pattern: a long-lived
-    # driver session must not accumulate per-call cache entries, and
-    # consumers must not re-run the iterative joins)
-    import os
+    from .scratch import spill_and_reread
 
-    from .scratch import scratch_dir
-
-    out = os.path.join(scratch_dir(prefix="crawlspark-bfs-"), "depths")
-    depths.write.mode("overwrite").parquet(out)
+    out = spill_and_reread(depths, "crawlspark-bfs-")
     edges.unpersist()
     depths.unpersist()
-    return spark.read.parquet(out).orderBy("depth", "node")
+    return out.orderBy("depth", "node")

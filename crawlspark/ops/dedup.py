@@ -386,20 +386,12 @@ def cc_labels(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
         labels = new_labels
         if changed == 0:
             break
-    # break lineage + release the loop's cached frames via a parquet
-    # spill (the engine's store-backed pattern — never a driver
-    # collect): a long-lived session (the driver runs every query in
-    # one SparkSession) should not accumulate per-call cache entries,
-    # and downstream consumers should not re-run the iterative joins
-    import os
+    from ..scratch import spill_and_reread
 
-    from ..scratch import scratch_dir
-
-    out_path = os.path.join(scratch_dir(prefix="crawlspark-cc-"), "labels")
-    labels.write.mode("overwrite").parquet(out_path)
+    out = spill_and_reread(labels, "crawlspark-cc-")
     edges.unpersist()
     labels.unpersist()
-    return pairs.sparkSession.read.parquet(out_path)
+    return out
 
 
 def dup_labels(docs: DataFrame, n_perm: int = 16, bands: int = 4,

@@ -16,7 +16,7 @@ import atexit
 import shutil
 import tempfile
 
-__all__ = ["scratch_dir", "release"]
+__all__ = ["scratch_dir", "release", "spill_and_reread"]
 
 _DIRS: set[str] = set()
 
@@ -33,6 +33,21 @@ def release(path: str) -> None:
     materialized (never while a lazy DataFrame still reads it)."""
     _DIRS.discard(path)
     shutil.rmtree(path, ignore_errors=True)
+
+
+def spill_and_reread(df, prefix: str):
+    """Break lineage + release an iterative loop's cached frames via a
+    parquet spill (the engine's store-backed pattern — never a driver
+    collect): a long-lived session should not accumulate per-call
+    cache entries, and downstream consumers should not re-run the
+    iterative joins. The caller unpersists its own frames; the spill
+    dir is atexit-cleaned (the returned DataFrame reads it lazily).
+    Shared by ops/dedup.cc_labels and analysis.graph_depths."""
+    import os
+
+    out = os.path.join(scratch_dir(prefix=prefix), "data")
+    df.write.mode("overwrite").parquet(out)
+    return df.sparkSession.read.parquet(out)
 
 
 @atexit.register

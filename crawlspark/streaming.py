@@ -22,7 +22,10 @@ from pyspark.sql import functions as F
 
 from .engine import RESULT_FULL_SCHEMA
 
-__all__ = ["stream_crawl_monitor", "stream_event_windows"]
+__all__ = [
+    "stream_crawl_monitor", "stream_event_windows", "stream_exact_dedup",
+    "stateful_host_counter", "parquet_parts", "bump_sentinel_mtime", "drain",
+]
 
 
 def stream_crawl_monitor(
@@ -132,10 +135,12 @@ def stream_exact_dedup(
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    from .ops.dedup import _md5  # the batch exact_dedup's hash, verbatim
+
     stream = reader.parquet(docs_path)
     stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
     deduped = (
-        stream.withColumn("content_hash", F.md5(F.encode(F.col("text"), "utf-8")))
+        stream.withColumn("content_hash", _md5(F.col("text")))
         .withWatermark("ts", watermark)
         .dropDuplicatesWithinWatermark(["content_hash"])
         # WHICH duplicate row survives depends on partition/arrival
