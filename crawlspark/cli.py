@@ -67,7 +67,7 @@ def _run_crawl(cfg, pages_path: str | None, robots_path: str | None) -> int:
         pages_pdf, robots_pdf, _ = matrix_site()
         pages_df = pages_to_spark(spark, pages_pdf)
         robots_df = robots_to_spark(spark, robots_pdf)
-    crawler = SparkCrawler(spark, cfg, pages_df, robots_df, workdir=scratch.scratch_dir())
+    crawler = SparkCrawler(spark, cfg, pages_df, robots_df, workdir=scratch.crawl_workdir())
     crawler.run()
     return _emit_ndjson(crawler)
 

@@ -37,7 +37,8 @@ from pyspark.sql import types as T
 
 from .bloomfilter import BITS_SCHEMA, with_shard_cols
 
-__all__ = ["CuckooConfig", "empty_bits_df", "mark", "probe", "delete"]
+__all__ = ["CuckooConfig", "empty_bits_df", "mark", "probe", "delete",
+           "overflowed_shards"]
 
 SLOTS = 4
 MAX_KICKS = 500
@@ -61,6 +62,23 @@ class CuckooConfig:
 def empty_bits_df(spark, cfg: CuckooConfig) -> DataFrame:
     rows = [(s, bytes(cfg.state_bytes)) for s in range(cfg.n_shards)]
     return spark.createDataFrame(rows, BITS_SCHEMA)
+
+
+def overflowed_shards(bits_df: DataFrame) -> int:
+    """Count shards whose overflow byte is set — a degraded shard
+    answers maybe-seen for everything (correct, but the prefilter
+    stops saving anti-join work there). The engine logs this per wave
+    so the degradation is observable (ADVICE r03). Pure column
+    expression over `n_shards` rows: the overflow flag is byte 0 of
+    the state blob."""
+    from pyspark.sql import functions as F
+
+    row = bits_df.select(
+        F.sum(
+            (F.substring(F.col("bits"), 1, 1) == F.lit(bytes([1]))).cast("int")
+        ).alias("n")
+    ).first()
+    return int(row["n"] or 0)
 
 
 def _fp_and_buckets(h64: np.ndarray, n_buckets: int):

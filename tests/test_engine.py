@@ -622,9 +622,7 @@ def test_single_pass_wave_plan_regression(spark, tmp_path):
         frontier = spark.createDataFrame(
             [(u, u, 0, i, i) for i, u in enumerate(seeds)], FRONTIER_SCHEMA
         )
-        parsed = c._fetch_and_parse(
-            c._gate(frontier), rows_hint=len(seeds), single_pass=True
-        )
+        parsed = c._fetch_and_parse(c._gate(frontier), rows_hint=len(seeds))
         plan = parsed._jdf.queryExecution().executedPlan().toString()
         # exactly one robots-UDF evaluation in the whole wave
         assert plan.count("ArrowEvalPython") == 1, plan
@@ -637,6 +635,56 @@ def test_single_pass_wave_plan_regression(spark, tmp_path):
         assert "SelectedBucketsCount" in pages_side
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_budgeted_wave_plan_single_pass(spark, tmp_path):
+    """Plan guards for the BUDGETED (production) path (VERDICT r03
+    #2 + #4): the results job of a budgeted wave evaluates the robots
+    pandas-UDF exactly ONCE (blocked rows ride the single-pass LEFT
+    join instead of a second gate branch), and the only
+    host-partitioned Window is the SALTED row_number — the per-host
+    row count comes from a groupBy partial aggregate broadcast back,
+    never an unsalted `count(*) over partitionBy(host)` that would
+    colocate a hot host into one task before the salt exists."""
+    from crawlspark.engine import SparkCrawler
+    from crawlspark.schema import FRONTIER_SCHEMA
+
+    pages_pdf, robots_pdf, seeds = testkit.nice_site(branching=2, max_id_len=2)
+    cfg = CrawlConfig(From=seeds, MaxDepth=1, per_host_budget=3)
+    c = SparkCrawler(
+        spark, cfg,
+        testkit.pages_to_spark(spark, pages_pdf),
+        testkit.robots_to_spark(spark, robots_pdf),
+        workdir=str(tmp_path / "budgetplan"),
+    )
+    frontier = spark.createDataFrame(
+        [(u, u, 0, i, i) for i, u in enumerate(seeds)], FRONTIER_SCHEMA
+    )
+    take, defer = c._apply_budget(c._gate(frontier), cfg.per_host_budget)
+    parsed = c._fetch_and_parse(take, rows_hint=len(seeds))
+    plan = parsed._jdf.queryExecution().executedPlan().toString()
+    # one robots-UDF evaluation in the whole budgeted results job
+    assert plan.count("ArrowEvalPython") == 1, plan
+    # every host-partitioned window is salted; the host count is a
+    # HashAggregate (map-side partial), not a Window
+    for spec in plan.split("windowspecdefinition(")[1:]:
+        args = spec.split(")")[0]
+        if "host#" in args:
+            assert "_salt" in args, plan
+    assert "count(1) windowspecdefinition" not in plan, plan
+    # blocked rows never consume a budget slot: disallow-all robots
+    robots_block = robots_pdf.copy()
+    robots_block["body"] = "User-agent: *\nDisallow: /\n"
+    c2 = SparkCrawler(
+        spark, CrawlConfig(From=seeds, MaxDepth=1, per_host_budget=1),
+        testkit.pages_to_spark(spark, pages_pdf),
+        testkit.robots_to_spark(spark, robots_block),
+        workdir=str(tmp_path / "budgetplan2"),
+    )
+    take2, defer2 = c2._apply_budget(c2._gate(frontier), 1)
+    # all seeds blocked -> all ride sub-wave 0, none deferred
+    assert defer2.count() == 0
+    assert take2.count() == len(seeds)
 
 
 def test_bucketed_pages_fetch_join(spark, tmp_path):
