@@ -207,6 +207,7 @@ class SparkCrawler:
         images_df: DataFrame | None = None,
         workdir: str | None = None,
         check_payload: bool = True,
+        warm_store: str | None = None,
     ):
         from .shipping import ensure_shipped
 
@@ -241,6 +242,36 @@ class SparkCrawler:
             )
         else:
             raise ValueError(f"unknown seen_filter {cfg.seen_filter!r}")
+        # warm start (re-crawl): seed the seen-set and the seen-filter
+        # bits from a prior crawl's store, minus its expired tombstones
+        # — a URL expired via expire() is re-fetched when re-linked,
+        # every other previously-seen URL is skipped. Requires the
+        # same seen_filter/bloom_* config as the prior crawl (the bits
+        # layout is config-dependent).
+        self._warm_seen: DataFrame | None = None
+        self._warm_bits: DataFrame | None = None
+        if warm_store:
+            prior = SnapshotStore(spark, warm_store)
+            fr = prior.read("frontier")
+            if fr is not None:
+                keys = fr.select("url_key")
+                pw = prior.read("warm_seen")  # chain: gen N-1's own warm set
+                if pw is not None:
+                    keys = keys.unionByName(pw.select("url_key"))
+                keys = keys.distinct()
+                tomb = prior.read("expired")
+                if tomb is not None:
+                    keys = keys.join(
+                        tomb.select("url_key").distinct(), "url_key", "left_anti"
+                    )
+                self._warm_seen = keys
+                for m in reversed(prior._manifests()):
+                    binfo = m["tables"].get("bloom")
+                    if binfo:
+                        self._warm_bits = spark.read.parquet(
+                            *binfo["files"]
+                        ).select("shard", "bits")
+                        break
         # the "web": pages keyed by fragmentless canonical url
         self.pages = pages_df
         if images_df is not None:
@@ -506,7 +537,25 @@ class SparkCrawler:
             # slices ARE the seen-set (every URL enqueued at any depth
             # was marked seen at enqueue time, crawler.go:143-145 +
             # 240-247), so seen(d) = url_keys of frontier waves 0..d.
-            if cfg.bloom_prefilter and info["rows"] >= cfg.bloom_min_seen:
+            if self._warm_seen is not None:
+                # persist the warm seen-set into THIS store so a
+                # mid-crawl resume (which only sees the store) and any
+                # further warm chaining keep the full seen history
+                self._warm_seen = self.spark.read.parquet(
+                    *store.stage("warm_seen", self._warm_seen, 0, manifest_wave=-1)[
+                        "files"
+                    ]
+                ).select("url_key")
+            if cfg.bloom_prefilter and self._warm_bits is not None:
+                # warm re-crawl: prior bits already cover the warm
+                # seen-set (post-expiry rebuild) — fold the seeds in
+                # and the filter is active from wave 0
+                bits = self.seenfilter.mark(
+                    frontier.select("url_key"), self._warm_bits,
+                    "url_key", self.bloom_cfg,
+                )
+                store.stage("bloom", bits, 0, manifest_wave=-1)
+            elif cfg.bloom_prefilter and info["rows"] >= cfg.bloom_min_seen:
                 bits = self.seenfilter.mark(
                     frontier.select("url_key"),
                     self.seenfilter.empty_bits_df(self.spark, self.bloom_cfg),
@@ -688,8 +737,17 @@ class SparkCrawler:
                 cand = cand.persist()
                 metrics["candidates"] = cand.count()
             # seen = frontier slices committed so far (manifests -1..d-1
-            # cover frontier depths 0..d) — no separate seen table
+            # cover frontier depths 0..d) — no separate seen table —
+            # plus, on a warm re-crawl, the prior crawl's seen-set
+            # minus its expired tombstones
             seen = store.read("frontier", up_to=d - 1)
+            warm = store.read("warm_seen")  # committed at seed time, so
+            # a resumed run recovers it without the warm_store argument
+            if warm is not None:
+                warm = warm.select("url_key")
+                seen = (
+                    warm if seen is None else seen.select("url_key").unionByName(warm)
+                )
             # probe the bloom only once it's been activated (bits then
             # cover the whole seen-set); before activation the plain
             # anti-join wins — the prefilter's probe/mark jobs only pay
@@ -811,5 +869,90 @@ class SparkCrawler:
             out = out.orderBy("Depth", "Priority", "UrlKey")
         return out
 
+    def _seen_keys(self) -> DataFrame:
+        """Effective seen-set: every URL this store enqueued, plus the
+        warm-started seen history, minus expired tombstones."""
+        keys = self.store.read("frontier").select("url_key")
+        warm = self.store.read("warm_seen")
+        if warm is not None:
+            keys = keys.unionByName(warm.select("url_key"))
+        keys = keys.distinct()
+        tomb = self.store.read("expired")
+        if tomb is not None:
+            keys = keys.join(tomb.select("url_key").distinct(), "url_key", "left_anti")
+        return keys
+
     def seen(self) -> DataFrame:
-        return self.store.read("frontier").select("url_key").distinct()
+        return self._seen_keys()
+
+    def expire(self, url_keys) -> dict:
+        """Re-crawl expiry: remove `url_keys` from this store's
+        effective seen-set, so a future crawl warm-started from this
+        workdir (``warm_store=...``) re-fetches them when re-linked.
+        The tombstone slice and the updated seen-filter bits land in
+        ONE manifest commit — the filter's no-false-negative contract
+        and the exact seen-set shrink together (ADVICE r03).
+
+        The bits update is a per-affected-shard REBUILD from the
+        surviving keys, NOT cuckoofilter.delete(): partial-key
+        deletion can evict the fingerprint of a DIFFERENT surviving
+        URL that collides on (shard, bucket, fp), turning a seen URL
+        into definitely-new and double-fetching it — which would break
+        the exact-output law. Rebuilding touches only the shards an
+        expired key hashes to (bounded work, all vectorized mark()),
+        works identically for bloom and cuckoo backends, and clears a
+        shard's overflow flag when the survivors fit again. delete()
+        remains the cheap primitive for callers whose keys are
+        guaranteed collision-free (see cuckoofilter.py contract)."""
+        from .bloomfilter import with_shard_cols
+
+        spark, store = self.spark, self.store
+        keys = (
+            url_keys.select("url_key")
+            if isinstance(url_keys, DataFrame)
+            else spark.createDataFrame([(k,) for k in url_keys], "url_key: string")
+        ).distinct()
+        last = store.last_complete_wave()
+        e = (last if last is not None else -1) + 1
+        info = store.stage("expired", keys, e, manifest_wave=e)
+        metrics = {"phase": "expired", "expired": info["rows"]}
+        if self.cfg.bloom_prefilter and self._bloom_active():
+            staged = spark.read.parquet(*info["files"])
+            prior_tomb = store.read("expired")
+            tomb = (
+                staged.select("url_key")
+                if prior_tomb is None
+                else staged.select("url_key")
+                .unionByName(prior_tomb.select("url_key"))
+                .distinct()
+            )
+            affected = [
+                r["_shard"]
+                for r in with_shard_cols(staged, "url_key", self.bloom_cfg)
+                .select("_shard")
+                .distinct()
+                .collect()
+            ]
+            base = store.read("frontier").select("url_key")
+            warm = store.read("warm_seen")
+            if warm is not None:
+                base = base.unionByName(warm.select("url_key"))
+            survivors = base.distinct().join(tomb, "url_key", "left_anti")
+            surv = (
+                with_shard_cols(survivors, "url_key", self.bloom_cfg)
+                .filter(F.col("_shard").isin(affected))
+                .select("url_key")
+            )
+            empty_aff = self.seenfilter.empty_bits_df(spark, self.bloom_cfg).filter(
+                F.col("shard").isin(affected)
+            )
+            rebuilt = self.seenfilter.mark(surv, empty_aff, "url_key", self.bloom_cfg)
+            bits2 = (
+                self._latest_bloom()
+                .filter(~F.col("shard").isin(affected))
+                .unionByName(rebuilt)
+            )
+            store.stage("bloom", bits2, e + 1, manifest_wave=e)
+            metrics["rebuilt_shards"] = len(affected)
+        store.commit_wave(e, metrics)
+        return metrics

@@ -86,28 +86,65 @@ def _shingles(shingle_words: int):
     return F.slice(sh, 1, F.greatest(n - shingle_words + 1, F.lit(1)))
 
 
-def minhash_signatures(docs: DataFrame, n_perm: int = 16, shingle_words: int = 2) -> DataFrame:
-    """MinHash signature: perm i's hash of shingle s is
-    md5(s || ':' || i); the min over shingles of the 32-hex string is
-    the signature component (lexicographic min of fixed-width hex ==
-    numeric min).
+_MERSENNE31 = 2147483647
 
-    Relational shape: explode shingles to ONE row per (doc, gram) and
-    compute the n_perm hashes as n_perm COLUMNS aggregated by n_perm
-    min()s in a single groupBy — one shuffle whose input is 1x the
-    gram count (not n_perm x as a perm-explode would be, and no giant
-    nested Catalyst expression as a transform-over-arrays would be;
-    both prior shapes measured slower — see PLANS.md). Map-side
-    partial agg collapses per-partition duplicates before the wire.
-    This is exactly how it distributes at 10^9 docs."""
+
+def _perm_consts(n_perm: int) -> list[tuple[int, int]]:
+    """Deterministic universal-hash (a, b) pairs for the minhash
+    permutation family h_i(g) = (a_i*g + b_i) mod 2^31-1, derived by
+    splitmix64 from a fixed seed. The multipliers must be mutually
+    UNRELATED: an arithmetic family like a_i = c*(i+1) makes
+    h_2 = 2*h_1 + const (mod p), whose argmins coincide for small
+    values — the 16 "independent" permutations collapse into a few,
+    inflating every band-collision estimate (measured: 388 -> 46k
+    pairs at sf0.1 before this fix). The DuckDB oracle embeds THESE
+    literals (generated from this function by
+    __spark_entry__.oracle_sql) so both engines permute identically."""
+    mask = (1 << 64) - 1
+    x = 0x243F6A8885A308D3  # pi fractional hex, fixed seed
+
+    def nxt() -> int:
+        nonlocal x
+        x = (x + 0x9E3779B97F4A7C15) & mask
+        z = x
+        z = ((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9) & mask
+        z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) & mask
+        return z ^ (z >> 31)
+
+    return [
+        (nxt() % (_MERSENNE31 - 1) + 1, nxt() % _MERSENNE31) for i in range(n_perm)
+    ]
+
+
+def minhash_signatures(docs: DataFrame, n_perm: int = 16, shingle_words: int = 2) -> DataFrame:
+    """MinHash signature via integer permutations: each shingle is
+    hashed ONCE (g = first 7 hex chars of md5 as a 28-bit int — md5
+    because it is the only hash present and identical in Spark and
+    DuckDB), then perm i is the universal hash (a_i*g + b_i) mod
+    2^31-1 — 16 multiply-adds in whole-stage codegen instead of the
+    16 per-perm md5s of rounds 1-3 (the md5 calls were ~¾ of the
+    signature stage's CPU; VERDICT r03 #7). 28-bit g keeps
+    a_i*g + b_i < 2^59, safe under ANSI overflow checking in both
+    engines. Signature component = min over shingles per perm.
+
+    Relational shape (unchanged): explode shingles to ONE row per
+    (doc, gram) and compute the n_perm hashes as n_perm COLUMNS
+    aggregated by n_perm min()s in a single groupBy — one shuffle
+    whose input is 1x the gram count (not n_perm x as a perm-explode
+    would be). Map-side partial agg collapses per-partition
+    duplicates before the wire. This is exactly how it distributes
+    at 10^9 docs."""
     grams = docs.select(
         "doc_id", F.explode(F.array_distinct(_shingles(shingle_words))).alias("g")
     )
+    # one md5 per gram; Catalyst subexpression elimination evaluates
+    # g64 once per row even though 16 projections reference it
+    g64 = F.conv(F.substring(_md5(F.col("g")), 1, 7), 16, 10).cast("bigint")
     hashed = grams.select(
         "doc_id",
         *[
-            _md5(F.concat_ws(":", F.col("g"), F.lit(str(i)))).alias(f"h{i}")
-            for i in range(n_perm)
+            F.pmod(F.lit(a) * g64 + F.lit(b), F.lit(_MERSENNE31)).alias(f"h{i}")
+            for i, (a, b) in enumerate(_perm_consts(n_perm))
         ],
     )
     mins = hashed.groupBy("doc_id").agg(
@@ -119,7 +156,11 @@ def minhash_signatures(docs: DataFrame, n_perm: int = 16, shingle_words: int = 2
 
 
 def minhash_lsh_pairs(
-    docs: DataFrame, n_perm: int = 16, bands: int = 4, shingle_words: int = 2
+    docs: DataFrame,
+    n_perm: int = 16,
+    bands: int = 4,
+    shingle_words: int = 2,
+    max_bucket: int = 10_000,
 ) -> DataFrame:
     """LSH banding: signature split into `bands` rows of
     n_perm/bands; band key = md5 of the concatenated band slice;
@@ -136,10 +177,15 @@ def minhash_lsh_pairs(
     cardinality = docs agreeing on a whole band ≈ true near-dup
     cluster size, and the i<j expansion emits exactly the rows the
     self-join would. Corpora with giant duplicate clusters should
-    exact-dedup first (the pipeline does — dedup_materialize), which
-    bounds bucket width for the collect_list."""
+    exact-dedup first (the pipeline does — dedup_materialize);
+    ``max_bucket`` enforces that documented precondition: a bucket
+    wider than it (an un-deduped giant identical-text cluster that
+    would OOM the collect_list row AND emit O(width²) pairs) fails
+    the job loudly with the fix in the message instead of dying in
+    an executor (ADVICE r03). None disables the guard."""
     rows_per_band = n_perm // bands
     sigs = minhash_signatures(docs, n_perm, shingle_words)
+    sig_str = F.col("sig").cast("array<string>")
     banded = sigs.select(
         "doc_id",
         "sig",
@@ -150,7 +196,7 @@ def minhash_lsh_pairs(
                         F.lit(b).alias("band_idx"),
                         _md5(
                             F.concat_ws(
-                                "|", F.slice("sig", b * rows_per_band + 1, rows_per_band)
+                                "|", F.slice(sig_str, b * rows_per_band + 1, rows_per_band)
                             )
                         ).alias("band_hash"),
                     )
@@ -164,6 +210,26 @@ def minhash_lsh_pairs(
         .agg(F.array_sort(F.collect_list(F.struct("doc_id", "sig"))).alias("ms"))
         .filter(F.size("ms") >= 2)
     )
+    if max_bucket is not None:
+        # the guard lives INSIDE the consumed `ms` expression so the
+        # optimizer cannot prune it away
+        buckets = buckets.withColumn(
+            "ms",
+            F.when(F.size("ms") <= F.lit(max_bucket), F.col("ms")).otherwise(
+                F.raise_error(
+                    F.concat(
+                        F.lit("minhash_lsh_pairs: LSH bucket of width "),
+                        F.size("ms").cast("string"),
+                        F.lit(
+                            f" exceeds max_bucket={max_bucket} — a giant "
+                            "identical-text cluster reached banding; run "
+                            "exact_dedup/dedup_materialize first, or raise "
+                            "max_bucket (None disables)"
+                        ),
+                    )
+                )
+            ),
+        )
     # all i<j member pairs per bucket; the lambdas reference only the
     # bound `ms` attribute (cheap per-element), never a recomputed
     # expression — see _shingles for why that distinction matters.

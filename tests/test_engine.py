@@ -470,6 +470,64 @@ def test_cuckoo_seen_filter_correctness(spark, tmp_path):
     assert outs["cuckoo"] == outs["off"]
 
 
+def test_expire_then_warm_recrawl_reemits_once(spark, tmp_path):
+    """Re-crawl expiry (ADVICE r03 #4): expire() shrinks the seen-set
+    and the seen-filter bits in one commit; a warm-started crawl
+    (warm_store=prior workdir) re-fetches the expired URL exactly
+    once when it is re-linked, skips every other previously-seen URL,
+    and never double-emits anything. Exercised on both filter
+    backends (the bits rebuild is backend-agnostic)."""
+    pages_pdf, robots_pdf, seeds = testkit.nice_site(branching=3, max_id_len=2)
+    for backend in ("cuckoo", "bloom"):
+        cfg = CrawlConfig(From=seeds, MaxDepth=2, RespectNofollow=True,
+                          seen_filter=backend, bloom_prefilter=True,
+                          bloom_shards=4, bloom_min_seen=0,
+                          bloom_bits_per_shard=1 << 12)
+        c1 = SparkCrawler(
+            spark, cfg,
+            testkit.pages_to_spark(spark, pages_pdf),
+            testkit.robots_to_spark(spark, robots_pdf),
+            workdir=str(tmp_path / f"gen1-{backend}"),
+        )
+        c1.run()
+        # expire one depth-1 URL (a direct child of a seed)
+        victim = c1.results().filter("Depth = 1").select("UrlKey").first()[0]
+        m = c1.expire([victim])
+        assert m["expired"] == 1
+        if backend == "cuckoo":
+            assert m.get("rebuilt_shards", 0) >= 1
+        assert victim not in {r["url_key"] for r in c1.seen().collect()}
+
+        c2 = SparkCrawler(
+            spark, cfg,
+            testkit.pages_to_spark(spark, pages_pdf),
+            testkit.robots_to_spark(spark, robots_pdf),
+            workdir=str(tmp_path / f"gen2-{backend}"),
+            warm_store=str(tmp_path / f"gen1-{backend}"),
+        )
+        c2.run()
+        emitted = [r["UrlKey"] for r in c2.results().collect()]
+        # seeds always re-fetch; the expired URL re-emits EXACTLY once;
+        # everything else is warm-seen and skipped
+        assert emitted.count(victim) == 1, (backend, emitted)
+        assert sorted(emitted) == sorted(list(seeds) + [victim]), (backend, emitted)
+
+        # control: without expiry the warm re-crawl emits only seeds
+        c3 = SparkCrawler(
+            spark, cfg,
+            testkit.pages_to_spark(spark, pages_pdf),
+            testkit.robots_to_spark(spark, robots_pdf),
+            workdir=str(tmp_path / f"gen3-{backend}"),
+            warm_store=str(tmp_path / f"gen2-{backend}"),
+        )
+        # gen2's store has no expiry; warm from it plus gen1? keep it
+        # simple: warm from gen2 — seeds and victim are its seen-set,
+        # so only seeds re-emit
+        c3.run()
+        emitted3 = sorted(r["UrlKey"] for r in c3.results().collect())
+        assert emitted3 == sorted(seeds), (backend, emitted3)
+
+
 def test_cuckoo_filter_unit(spark):
     """Cuckoo filter semantics: no false negatives after mark,
     delete() removes membership, overflow degrades to maybe-seen for

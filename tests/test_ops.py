@@ -89,6 +89,40 @@ def test_dedup_plans_stay_bucketed(spark):
     assert "BroadcastNestedLoopJoin" not in nplan
 
 
+def test_minhash_bucket_guard(spark):
+    """ADVICE r03: a giant identical-text cluster reaching LSH banding
+    must fail loudly (with the exact-dedup-first fix in the message)
+    instead of OOMing an executor on an unbounded collect_list row;
+    the default cap must not fire on a sane corpus."""
+    from crawlspark.ops import dedup
+
+    rows = [(i, f"doc number {i} words here vary", "s") for i in range(10)]
+    clones = [(100 + i, "same text in every single clone row", "s") for i in range(8)]
+    docs = spark.createDataFrame(rows + clones, "doc_id: long, text: string, source: string")
+    with pytest.raises(Exception, match="exceeds max_bucket=4"):
+        dedup.minhash_lsh_pairs(docs, max_bucket=4).count()
+    # default cap: clones still pair fine below the cap
+    assert dedup.minhash_lsh_pairs(docs).count() >= len(clones) * (len(clones) - 1) // 2
+
+
+def test_minhash_perms_are_independent():
+    """The r04 perf rewrite's failure mode: an arithmetic multiplier
+    family (a_i = c*(i+1)) makes permutation argmins coincide. Guard:
+    no pairwise ratio a_j/a_i (mod p) may be a tiny integer, and all
+    constants are distinct."""
+    from crawlspark.ops.dedup import _MERSENNE31, _perm_consts
+
+    consts = _perm_consts(16)
+    a_vals = [a for a, _ in consts]
+    assert len(set(a_vals)) == 16 and len({b for _, b in consts}) == 16
+    for i in range(16):
+        for j in range(16):
+            if i == j:
+                continue
+            ratio = (a_vals[j] * pow(a_vals[i], -1, _MERSENNE31)) % _MERSENNE31
+            assert ratio > 64 and ratio < _MERSENNE31 - 64, (i, j, ratio)
+
+
 def test_banded_blocking_rejects_unsound_threshold(spark, images):
     from crawlspark.ops import dedup, multimodal
 
