@@ -308,7 +308,11 @@ def lsh_verified_pairs(
 
 
 def ngram_jaccard_pairs(
-    docs: DataFrame, threshold: float = 0.5, block_col: str = "source", shingle_words: int = 2
+    docs: DataFrame,
+    threshold: float = 0.5,
+    block_col: str = "source",
+    shingle_words: int = 2,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard within a blocking key (at scale: the
     verify stage on LSH candidates; here blocked by `source` to bound
@@ -322,10 +326,21 @@ def ngram_jaccard_pairs(
     (5 s, identical output). |A∪B| = |A|+|B|-|A∩B| from per-doc gram
     counts. Zero-overlap pairs never materialize, which is exactly
     right for any threshold > 0 (they have jaccard 0); the guard
-    below keeps the equivalence honest. At scale, stop-grams shared
-    by a whole block would inflate the posting join — production
-    pipelines prune by document frequency first; the LSH+verify
-    composition (lsh_verified_pairs) avoids the issue entirely."""
+    below keeps the equivalence honest.
+
+    ``max_df`` (VERDICT r03 #5): stop-gram document-frequency
+    pruning. A gram shared by m docs of a block contributes m(m-1)/2
+    posting-join rows — one whole-block stop-gram turns the join
+    quadratic. With ``max_df=m`` grams whose per-block document
+    frequency exceeds m are dropped from the POSTING LIST ONLY
+    (|A∪B| still uses full gram counts), so each surviving join gram
+    costs <= m(m-1)/2 rows. Jaccard is then a lower bound: exact
+    whenever no pruned gram is shared by a compared pair — in
+    particular, bit-identical to max_df=None when no gram's block DF
+    exceeds the cap (the oracle-checked `docs_ngram_jaccard_capped`
+    configuration). Default None preserves the exact semantics; the
+    LSH+verify composition (lsh_verified_pairs) avoids the issue
+    entirely by never building block-wide postings."""
     if threshold <= 0:
         raise ValueError(
             "ngram_jaccard_pairs requires threshold > 0: the inverted-"
@@ -336,6 +351,17 @@ def ngram_jaccard_pairs(
     )
     sizes = sh.select("doc_id", F.size("grams").alias("n"))
     posting = sh.select(block_col, "doc_id", F.explode("grams").alias("g"))
+    if max_df is not None:
+        # block-local DF via one map-side-combinable groupBy; the
+        # high-DF gram list is tiny by construction (only grams above
+        # the cap) so the prune join broadcasts
+        stop = (
+            posting.groupBy(block_col, "g")
+            .agg(F.count("*").alias("_df"))
+            .filter(F.col("_df") > max_df)
+            .select(block_col, "g")
+        )
+        posting = posting.join(F.broadcast(stop), [block_col, "g"], "left_anti")
     a, b = posting.alias("a"), posting.alias("b")
     inter = (
         a.join(
@@ -367,42 +393,56 @@ def ngram_jaccard_pairs(
 
 
 def embedding_neardup_ivf(
-    emb: DataFrame, centroids: DataFrame, threshold: float = 0.4
+    emb: DataFrame, centroids: DataFrame, threshold: float = 0.4, n_probe: int = 1
 ) -> DataFrame:
     """Embedding-cosine near-duplicates blocked by IVF bucket — the
     10^9-vector scale path embedding_neardup's label-blocking stands
-    in for: vectors pair only within their nearest-centroid inverted
-    list (ops/similarity.ivf_assign, committed k-means fixture), so
-    the pair space is sum-of-squared-bucket-sizes, bounded by k-means
-    balance, never O(n²). Standard IVF recall tradeoff: a near-dup
-    pair straddling a centroid boundary is missed — multi-probe
-    assignment (assign each vector to its p nearest buckets) trades
-    p× the pair work to recover those; single-probe here matches the
-    oracle exactly."""
-    from .similarity import ivf_assign
+    in for: vectors pair only within a shared inverted list
+    (ops/similarity.ivf_assign / ivf_assign_multi, committed k-means
+    fixture), so the pair space is sum-of-squared-bucket-sizes,
+    bounded by k-means balance, never O(n²).
 
-    e = emb.select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("v")
-    ).join(ivf_assign(emb, centroids), "vec_id")
-    a, b = e.alias("a"), e.alias("b")
+    ``n_probe=1`` is the classic single-probe tradeoff: a near-dup
+    pair straddling a centroid boundary is missed. ``n_probe>=2``
+    assigns each vector to its p nearest buckets (VERDICT r03 #3):
+    the pair set is a SUPERSET of single-probe's (every shared
+    nearest bucket still shared; asserted in tests together with the
+    recall-vs-brute-force comparison), at ~p^2/2 x the in-bucket pair
+    work. Candidate pairs are deduped BEFORE the cosine evaluation so
+    a pair sharing several probed buckets is scored once."""
+    from .similarity import ivf_assign, ivf_assign_multi
+
+    assign = (
+        ivf_assign(emb, centroids)
+        if n_probe <= 1
+        else ivf_assign_multi(emb, centroids, n_probe)
+    )
+    pa, pb = assign.alias("pa"), assign.alias("pb")
+    cand = (
+        pa.join(
+            pb,
+            (F.col("pa.bucket") == F.col("pb.bucket"))
+            & (F.col("pa.vec_id") < F.col("pb.vec_id")),
+        )
+        .select(
+            F.col("pa.vec_id").alias("vec_a"), F.col("pb.vec_id").alias("vec_b")
+        )
+        .distinct()
+    )
+    e = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    a = e.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"))
+    b = e.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"))
 
     def dot(x, y):
         return F.aggregate(F.zip_with(x, y, lambda p, q: p * q), F.lit(0.0), lambda s, t: s + t)
 
-    cos = dot(F.col("a.v"), F.col("b.v")) / (
-        F.sqrt(dot(F.col("a.v"), F.col("a.v"))) * F.sqrt(dot(F.col("b.v"), F.col("b.v")))
+    cos = dot(F.col("va"), F.col("vb")) / (
+        F.sqrt(dot(F.col("va"), F.col("va"))) * F.sqrt(dot(F.col("vb"), F.col("vb")))
     )
     return (
-        a.join(
-            b,
-            (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
-        )
-        .select(
-            F.col("a.vec_id").alias("vec_a"),
-            F.col("b.vec_id").alias("vec_b"),
-            F.round(cos, 4).alias("cosine"),
-        )
+        cand.join(a, "vec_a")
+        .join(b, "vec_b")
+        .select("vec_a", "vec_b", F.round(cos, 4).alias("cosine"))
         .filter(F.col("cosine") >= threshold)
         .orderBy(F.desc("cosine"), "vec_a", "vec_b")
     )

@@ -22,7 +22,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-__all__ = ["cosine_topk", "srp_ann_topk", "srp_buckets", "ivf_assign", "ivf_topk"]
+__all__ = ["cosine_topk", "srp_ann_topk", "srp_buckets", "ivf_assign",
+           "ivf_assign_multi", "ivf_topk"]
 
 
 def _dot(x, y):
@@ -92,6 +93,36 @@ def ivf_assign(emb: DataFrame, centroids: DataFrame) -> DataFrame:
         F.min(F.struct((-F.col("c_cos")).alias("neg"), F.col("centroid_id").alias("cid")))
         .getField("cid")
         .alias("bucket")
+    )
+
+
+def ivf_assign_multi(emb: DataFrame, centroids: DataFrame, n_probe: int = 2) -> DataFrame:
+    """Multi-probe IVF assignment: each vector -> its ``n_probe``
+    nearest centroids, one (vec_id, bucket) row per probe. The
+    blocking fix for single-probe near-dup's boundary-pair miss
+    (VERDICT r03 #3): a pair straddling a centroid boundary shares
+    a second-nearest bucket with high probability, so p probes trade
+    ~p^2/2 x the in-bucket pair work for that recall. Same map-side
+    shape as ivf_assign — the top-p select is a collect_list of k
+    (small, broadcast-bounded) centroid scores per vector sorted in
+    the aggregate, never a row_number window over the n*k fan-out."""
+    scored = _centroid_scores(emb, centroids)
+    tops = scored.groupBy("vec_id").agg(
+        F.slice(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        (-F.col("c_cos")).alias("neg"),
+                        F.col("centroid_id").alias("cid"),
+                    )
+                )
+            ),
+            1,
+            n_probe,
+        ).alias("tops")
+    )
+    return tops.select(
+        "vec_id", F.explode(F.col("tops").getField("cid")).alias("bucket")
     )
 
 
