@@ -135,9 +135,15 @@ HEADLINE = [
     "crawl_inlinks",
     "tpch_q1_pricing",
     "topk_orders_per_customer",
-    "docs_quality",
+    "docs_text_metrics",
     "docs_minhash_lsh",
     "docs_exact_dedup",
+    # the composed dedup pipelines a real user runs (VERDICT r03 #6):
+    # LSH recall -> exact-Jaccard precision, cluster -> materialize,
+    # and the full filter+dedup training-corpus composition
+    "docs_neardup_verified",
+    "docs_dedup_materialize",
+    "docs_training_corpus",
     "emb_cosine_topk",
     "emb_srp_ann_topk",
     "emb_ivf_topk",

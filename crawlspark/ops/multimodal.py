@@ -266,27 +266,60 @@ def resize_images(images: DataFrame, out_w: int = 16, out_h: int = 16) -> DataFr
     return images.mapInPandas(fn, _RESIZE_SCHEMA).orderBy("image_id")
 
 
-def frame_sample(videos: DataFrame, every_n: int = 10) -> DataFrame:
-    """Video frame sampling — STUB (no video codecs in this sandbox).
-    The plumbing (schema, mapInPandas shape) is real; decode raises."""
+_FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("video_id", T.StringType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("w", T.IntegerType()),
+        T.StructField("h", T.IntegerType()),
+        T.StructField("frame_png", T.BinaryType()),
+    ]
+)
 
-    schema = T.StructType(
-        [
-            T.StructField("video_id", T.StringType()),
-            T.StructField("frame_idx", T.IntegerType()),
-            T.StructField("frame_png", T.BinaryType()),
-        ]
-    )
+
+def frame_sample_rows(video_id: str, data: bytes, every_n: int) -> list[dict]:
+    """Pure row function: sampled frames of one QVID container,
+    re-encoded as PNG. Shared by the Spark operator, the committed
+    ground-truth fixture (scripts/make_fixtures.py) and the tests."""
+    from .. import imagecodec, videocodec
+
+    out = []
+    for idx, arr in videocodec.iter_frames(data, every_n):
+        h, w, _ = arr.shape
+        out.append(
+            {
+                "video_id": video_id,
+                "frame_idx": idx,
+                "w": w,
+                "h": h,
+                "frame_png": imagecodec.encode_png(arr),
+            }
+        )
+    return out
+
+
+def frame_sample(videos: DataFrame, every_n: int = 10) -> DataFrame:
+    """Video frame sampling over the QVID container
+    (crawlspark/videocodec.py — the own-codec pattern that replaced
+    the r03 stub, VERDICT r03 #8): every_n-th frame decoded and
+    re-encoded as PNG; skipped frames are byte-seeked past, never
+    inflated, so cost scales with frames KEPT. Arrow mapInPandas over
+    (video_id, bytes) rows — the same multi-executor shape as the
+    image decode path; a real-codec swap only replaces the row
+    function's decode call."""
 
     def fn(batches):
-        for _pdf in batches:
-            raise NotImplementedError(
-                "video decode requires codec libraries not present in this sandbox; "
-                "plumbing (schema/batching) is real — swap fn body when codecs exist"
+        for pdf in batches:
+            rows: list[dict] = []
+            for r in pdf.itertuples(index=False):
+                rows.extend(frame_sample_rows(r.video_id, bytes(r.bytes), every_n))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in _FRAME_SCHEMA.fields]
             )
-        yield  # pragma: no cover
 
-    return videos.mapInPandas(fn, schema)
+    return videos.select("video_id", "bytes").mapInPandas(
+        fn, _FRAME_SCHEMA
+    ).orderBy("video_id", "frame_idx")
 
 
 def image_dedup_materialize(

@@ -218,6 +218,30 @@ def make_images(n: int = 8, w: int = 24, h: int = 16) -> pd.DataFrame:
     return pd.DataFrame(rows)
 
 
+def make_videos(n: int = 8, n_frames: int = 12, w: int = 16, h: int = 16) -> pd.DataFrame:
+    """Deterministic synthetic video corpus (video_id, bytes,
+    n_frames, w, h, caption) — QVID containers of seed-keyed synth
+    frames (crawlspark/videocodec.py). BASELINE input rule: no
+    external data; synthesize at small scale for tests/fixtures."""
+    from . import videocodec
+
+    rows = []
+    for i in range(1, n + 1):
+        video_id = f"vid-{i:04d}"
+        frames = videocodec.synth_video(video_id, n_frames, w, h)
+        rows.append(
+            {
+                "video_id": video_id,
+                "bytes": videocodec.encode_qvid(frames),
+                "n_frames": n_frames,
+                "w": w,
+                "h": h,
+                "caption": imagecodec.caption_for(video_id),
+            }
+        )
+    return pd.DataFrame(rows)
+
+
 def pages_to_spark(spark, pages_pdf: pd.DataFrame):
     from .schema import PAGE_SCHEMA
 

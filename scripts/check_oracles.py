@@ -64,7 +64,7 @@ def _nonportable_cols(rel) -> list[tuple[str, str]]:
 
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-    only = sys.argv[2] if len(sys.argv) > 2 else ""
+    only = sys.argv[2:]  # any number of substrings; empty = all
 
     from pyspark.sql import SparkSession
 
@@ -88,7 +88,7 @@ def main():
     oracles = entrymod.oracle_sql()
     failures = []
     for name, fn in queries.items():
-        if only and only not in name:
+        if only and not any(s in name for s in only):
             continue
         try:
             sdf = fn(spark, sf_dir)

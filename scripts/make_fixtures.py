@@ -137,6 +137,28 @@ def main():
     print(f"image expected fixtures: {stats_t.num_rows} stats / {feat_t.num_rows} "
           f"features / {resize_t.num_rows} resize rows")
 
+    # videos table (QVID containers, crawlspark/videocodec.py) + the
+    # committed per-frame ground truth for the video_frame_sample
+    # oracle — written by the SAME pure row function the Spark
+    # operator calls (ops/multimodal.frame_sample_rows), md5 of the
+    # PNG re-encode per sampled frame (the images_resize pattern)
+    videos = testkit.make_videos(8)
+    vid_t = pa.Table.from_pandas(videos, preserve_index=False)
+    pq.write_table(vid_t, os.path.join(out_dir, "videos.parquet"), compression="snappy")
+    frame_rows = []
+    for r in videos.itertuples(index=False):
+        for fr in multimodal.frame_sample_rows(r.video_id, bytes(r.bytes), every_n=4):
+            frame_rows.append(
+                {"video_id": fr["video_id"], "frame_idx": fr["frame_idx"],
+                 "w": fr["w"], "h": fr["h"],
+                 "frame_md5": hashlib.md5(fr["frame_png"]).hexdigest()}
+            )
+    frames_t = pa.Table.from_pylist(frame_rows)
+    pq.write_table(frames_t, os.path.join(out_dir, "video_frames_md5.parquet"),
+                   compression="snappy")
+    print(f"videos.parquet: {vid_t.num_rows} rows; "
+          f"video_frames_md5.parquet: {frames_t.num_rows} rows")
+
     # IVF coarse-quantizer centroids for ops/similarity.ivf_topk —
     # deterministic numpy k-means (seed 42) over the sf0.001
     # embeddings; committed so Spark and the DuckDB oracle assign

@@ -123,6 +123,43 @@ def test_minhash_perms_are_independent():
             assert ratio > 64 and ratio < _MERSENNE31 - 64, (i, j, ratio)
 
 
+def test_qvid_roundtrip_and_frame_sample(spark):
+    """QVID container (VERDICT r03 #8): header meta, lossy-but-
+    deterministic frame round-trip (qjpg PSNR>=40 per the input_hint
+    fidelity clause), and the distributed frame_sample operator
+    reproducing the pure row function exactly."""
+    import numpy as np
+
+    from crawlspark import imagecodec, testkit, videocodec
+    from crawlspark.ops import multimodal
+
+    frames = videocodec.synth_video("vid-t", n_frames=7, w=12, h=10)
+    blob = videocodec.encode_qvid(frames)
+    assert videocodec.video_meta(blob) == (7, 12, 10)
+    dec = videocodec.decode_qvid(blob)
+    assert len(dec) == 7
+    for orig, got in zip(frames, dec):
+        assert got.shape == orig.shape
+        assert imagecodec.psnr(orig, got) >= 40.0
+    # sampling: every 3rd frame, indices preserved, skipped frames
+    # never decoded (seek walk) — same values as full decode
+    sampled = dict(videocodec.iter_frames(blob, 3))
+    assert sorted(sampled) == [0, 3, 6]
+    assert all(np.array_equal(sampled[i], dec[i]) for i in (0, 3, 6))
+
+    videos = testkit.make_videos(3, n_frames=6, w=8, h=8)
+    out = multimodal.frame_sample(
+        spark.createDataFrame(videos), every_n=2
+    ).collect()
+    expect = []
+    for r in videos.itertuples(index=False):
+        expect.extend(multimodal.frame_sample_rows(r.video_id, bytes(r.bytes), 2))
+    assert len(out) == len(expect) == 3 * 3
+    got = {(r["video_id"], r["frame_idx"]): bytes(r["frame_png"]) for r in out}
+    for e in expect:
+        assert got[(e["video_id"], e["frame_idx"])] == e["frame_png"]
+
+
 def test_ngram_stop_gram_pruning(spark):
     """max_df stop-gram pruning (VERDICT r03 #5): on a block where one
     gram is shared by EVERY doc (the quadratic hazard), the pruned
