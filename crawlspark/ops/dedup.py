@@ -461,42 +461,44 @@ def cc_labels(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
     edges = pairs.unionByName(
         pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
     ).persist()
-    labels = (
+    prev = (
         edges.select(F.col("doc_a").alias("doc_id"))
         .distinct()
         .withColumn("label", F.col("doc_id"))
         .persist()
     )
+    labels = prev
     for _ in range(max_iters):
         neighbor_min = (
             edges.join(labels, edges["doc_b"] == labels["doc_id"])
             .groupBy(F.col("doc_a").alias("nid"))
             .agg(F.min("label").alias("nlabel"))
         )
+        # carry the change flag IN the label frame: one aggregate over
+        # the freshly-persisted cache both materializes it and answers
+        # convergence — r03 ran a second join + count job per round,
+        # doubling the loop's job count (the scheduling floor was most
+        # of dedup_materialize's wall time at fixture scale)
         new_labels = (
             labels.join(neighbor_min, labels["doc_id"] == F.col("nid"), "left")
             .select(
                 "doc_id",
                 F.least(F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))).alias("label"),
+                (F.coalesce(F.col("nlabel"), F.col("label")) < F.col("label")).alias("_chg"),
             )
             .persist()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
-        labels.unpersist()
-        labels = new_labels
-        if changed == 0:
+        changed = new_labels.agg(F.sum(F.col("_chg").cast("int"))).first()[0]
+        prev.unpersist()
+        prev = new_labels
+        labels = new_labels.drop("_chg")
+        if not changed:
             break
     from ..scratch import spill_and_reread
 
     out = spill_and_reread(labels, "crawlspark-cc-")
     edges.unpersist()
-    labels.unpersist()
+    prev.unpersist()
     return out
 
 
