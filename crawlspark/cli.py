@@ -1,7 +1,9 @@
 """CLI parity with the reference binary (/root/reference/crawl.go:45-63):
 
   python -m crawlspark.cli spider config.json [--pages P --robots R]
+                                  [--workdir W] [--warm PRIOR_W]
   python -m crawlspark.cli list   [-format=text|xml] config.json < urls
+  python -m crawlspark.cli expire config.json workdir [url...] < urls
   python -m crawlspark.cli sitemap <url-or-path>
   python -m crawlspark.cli schema
   python -m crawlspark.cli version
@@ -14,6 +16,15 @@ order — the BigQuery-ingestable format of crawl.go:138-160. `list`
 overrides From with stdin URLs and forces MaxDepth=0
 (crawl.go:133-134). `schema` prints the BigQuery JSON schema
 (crawl.go:67-70).
+
+Re-crawl extension (no reference analog — the reference restarts from
+scratch): `expire` removes URLs (args, else stdin lines) from a prior
+crawl workdir's seen-set, staging tombstones + the rebuilt seen-filter
+shards in one snapshot commit; `spider --warm PRIOR_W` then starts a
+crawl whose seen-set is warm-started from that store, re-fetching
+expired URLs when re-linked and skipping everything else seen. The
+config passed to `expire` must use the same seen-filter settings as
+the original crawl (the bits layout is config-dependent).
 """
 
 from __future__ import annotations
@@ -52,7 +63,13 @@ def _emit_ndjson(crawler) -> int:
     return n
 
 
-def _run_crawl(cfg, pages_path: str | None, robots_path: str | None) -> int:
+def _run_crawl(
+    cfg,
+    pages_path: str | None,
+    robots_path: str | None,
+    workdir: str | None = None,
+    warm: str | None = None,
+) -> int:
     from . import scratch
     from .engine import SparkCrawler
     from .testkit import matrix_site, pages_to_spark, robots_to_spark
@@ -67,7 +84,10 @@ def _run_crawl(cfg, pages_path: str | None, robots_path: str | None) -> int:
         pages_pdf, robots_pdf, _ = matrix_site()
         pages_df = pages_to_spark(spark, pages_pdf)
         robots_df = robots_to_spark(spark, robots_pdf)
-    crawler = SparkCrawler(spark, cfg, pages_df, robots_df, workdir=scratch.crawl_workdir())
+    crawler = SparkCrawler(
+        spark, cfg, pages_df, robots_df,
+        workdir=workdir or scratch.crawl_workdir(), warm_store=warm,
+    )
     crawler.run()
     return _emit_ndjson(crawler)
 
@@ -144,10 +164,34 @@ def main(argv: list[str] | None = None) -> int:
             print(u)
         return 0
 
+    if cmd == "expire":
+        from .engine import SparkCrawler
+        from .schema import PAGE_SCHEMA, ROBOTS_FIXTURE_SCHEMA
+
+        with open(rest[0]) as f:
+            cfg = CrawlConfig.from_json(f.read())
+        workdir = rest[1]
+        urls = rest[2:] or [u for u in sys.stdin.read().split() if u]
+        if not urls:
+            print("expire: no URLs given (args or stdin)", file=sys.stderr)
+            return 1
+        spark = _build_spark()
+        spark.sparkContext.setLogLevel("ERROR")
+        # expire only touches the store + seen-filter; the fetch
+        # interface is unused, so empty pages/robots frames suffice
+        crawler = SparkCrawler(
+            spark, cfg,
+            spark.createDataFrame([], PAGE_SCHEMA),
+            spark.createDataFrame([], ROBOTS_FIXTURE_SCHEMA),
+            workdir=workdir,
+        )
+        print(json.dumps(crawler.expire(urls)))
+        return 0
+
     if cmd in ("spider", "list"):
         fmt = "text"
         rest = [a for a in rest if not (a.startswith("-format=") and (fmt := a.split("=")[1]))]
-        pages_path = robots_path = None
+        pages_path = robots_path = workdir = warm = None
         cleaned = []
         it = iter(rest)
         for a in it:
@@ -155,6 +199,10 @@ def main(argv: list[str] | None = None) -> int:
                 pages_path = next(it)
             elif a == "--robots":
                 robots_path = next(it)
+            elif a == "--workdir":
+                workdir = next(it)
+            elif a == "--warm":
+                warm = next(it)
             else:
                 cleaned.append(a)
         with open(cleaned[0]) as f:
@@ -166,7 +214,7 @@ def main(argv: list[str] | None = None) -> int:
             queue = sitemap.parse(stdin) if fmt == "xml" else sitemap.list_from_text(stdin)
             cfg.From = queue
             cfg.MaxDepth = 0  # crawl.go:133-134
-        _run_crawl(cfg, pages_path, robots_path)
+        _run_crawl(cfg, pages_path, robots_path, workdir=workdir, warm=warm)
         return 0
 
     print(f"unknown command {cmd!r}", file=sys.stderr)

@@ -339,6 +339,44 @@ def test_cli_spider_ndjson(tmp_path):
         assert "StatusCode" not in b and "Header" not in b
 
 
+def test_cli_expire_then_warm_spider(tmp_path):
+    """CLI re-crawl cycle: spider --workdir, expire a child URL, then
+    spider --warm re-emits only the seeds plus the expired URL."""
+    import json as _json
+
+    cfgp = tmp_path / "config.json"
+    cfgp.write_text(_json.dumps({
+        "From": ["http://site-0.test/"], "MaxDepth": 1,
+        "RespectNofollow": True, "Connections": 4,
+    }))
+    w1, w2 = str(tmp_path / "gen1"), str(tmp_path / "gen2")
+    out = subprocess.run(
+        [sys.executable, "-m", "crawlspark.cli", "spider", "--workdir", w1, str(cfgp)],
+        capture_output=True, text=True, cwd="/root/repo", timeout=300,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    rows = [_json.loads(x) for x in out.stdout.splitlines() if x.startswith("{")]
+    victim = next(r["Address"]["Full"] for r in rows if r["Depth"] == 1)
+
+    out = subprocess.run(
+        [sys.executable, "-m", "crawlspark.cli", "expire", str(cfgp), w1, victim],
+        capture_output=True, text=True, cwd="/root/repo", timeout=300,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    metrics = _json.loads(out.stdout.strip().splitlines()[-1])
+    assert metrics["expired"] == 1
+
+    out = subprocess.run(
+        [sys.executable, "-m", "crawlspark.cli", "spider",
+         "--workdir", w2, "--warm", w1, str(cfgp)],
+        capture_output=True, text=True, cwd="/root/repo", timeout=300,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    rows2 = [_json.loads(x) for x in out.stdout.splitlines() if x.startswith("{")]
+    urls2 = sorted(r["Address"]["Full"] for r in rows2)
+    assert urls2 == sorted(["http://site-0.test/", victim])
+
+
 def test_cli_list_mode_from_sitemap_xml(tmp_path):
     """`crawl list -format=xml`: stdin sitemap -> single wave
     (MaxDepth forced to 0, crawl.go:133-134)."""
