@@ -528,6 +528,73 @@ def test_expire_then_warm_recrawl_reemits_once(spark, tmp_path):
         assert emitted3 == sorted(seeds), (backend, emitted3)
 
 
+def test_warm_recrawl_midwave_resume(spark, tmp_path):
+    """The warm seen-set must survive a mid-wave interruption WITHOUT
+    re-passing warm_store: it is committed into the new store at seed
+    time, so run(resume=True) on a fresh crawler recovers it — an
+    interrupted warm re-crawl that forgot its warm history would
+    re-fetch previously-seen URLs and break the exactly-once law."""
+    pages_pdf, robots_pdf, seeds = testkit.nice_site(branching=4, max_id_len=3)
+    cfg1 = CrawlConfig(From=seeds, MaxDepth=1, RespectNofollow=True)
+    g1 = SparkCrawler(
+        spark, cfg1,
+        testkit.pages_to_spark(spark, pages_pdf),
+        testkit.robots_to_spark(spark, robots_pdf),
+        workdir=str(tmp_path / "g1"),
+    )
+    g1.run()
+    victims = [r["UrlKey"] for r in g1.results().filter("Depth = 1").limit(2).collect()]
+    g1.expire(victims)
+
+    # uninterrupted warm re-crawl, deeper + budgeted
+    cfg2 = CrawlConfig(From=seeds, MaxDepth=2, RespectNofollow=True, per_host_budget=2)
+    full = SparkCrawler(
+        spark, cfg2,
+        testkit.pages_to_spark(spark, pages_pdf),
+        testkit.robots_to_spark(spark, robots_pdf),
+        workdir=str(tmp_path / "full"), warm_store=str(tmp_path / "g1"),
+    )
+    full.run()
+
+    class Interrupted(Exception):
+        pass
+
+    part = SparkCrawler(
+        spark, cfg2,
+        testkit.pages_to_spark(spark, pages_pdf),
+        testkit.robots_to_spark(spark, robots_pdf),
+        workdir=str(tmp_path / "part"), warm_store=str(tmp_path / "g1"),
+    )
+    orig = part._apply_budget
+    calls = {"n": 0}
+
+    def boom(remaining, budget):
+        calls["n"] += 1
+        if calls["n"] >= 3:
+            raise Interrupted()
+        return orig(remaining, budget)
+
+    part._apply_budget = boom
+    with pytest.raises(Interrupted):
+        part.run()
+
+    # resume with a FRESH crawler and no warm_store argument
+    part2 = SparkCrawler(
+        spark, cfg2,
+        testkit.pages_to_spark(spark, pages_pdf),
+        testkit.robots_to_spark(spark, robots_pdf),
+        workdir=str(tmp_path / "part"),
+    )
+    part2.run(resume=True)
+
+    a = sorted(tuple(r) for r in full.results().select("Depth", "Priority", "UrlKey").collect())
+    b = sorted(tuple(r) for r in part2.results().select("Depth", "Priority", "UrlKey").collect())
+    assert a == b
+    emitted = [r["UrlKey"] for r in part2.results().collect()]
+    for v in victims:
+        assert emitted.count(v) == 1, (v, emitted)
+
+
 def test_cuckoo_filter_unit(spark):
     """Cuckoo filter semantics: no false negatives after mark,
     delete() removes membership, overflow degrades to maybe-seen for

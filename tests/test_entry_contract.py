@@ -57,9 +57,8 @@ def test_oracle_keys_exactly_match_queries():
 def test_query_vs_oracle(name, spark, duck):
     sdf = _QUERIES[name](spark, SF)
     rows = sdf.collect()
-    if name not in _ORACLES:
-        assert rows is not None  # rows-only contract: runs, stable schema
-        return
+    # every query has an oracle (key-set equality asserted above) —
+    # there is no rows-only fallback
     rel = duck.sql(_ORACLES[name])
     duck_cols = [d[0] for d in rel.description]
     duck_rows = rel.fetchall()
