@@ -40,8 +40,11 @@ def training_corpus(
     Returns (doc_id, source, n_chars_calc) like dedup_materialize."""
     toks = F.split(F.trim("text"), _WS)
     kept = docs.filter(F.size(toks) >= min_tokens)
+    # language-ID over the token-filtered subset only — the join
+    # discards non-kept rows anyway, so scoring the full corpus was
+    # pure waste (the Arrow UDF is the composition's priciest filter)
     lid = (
-        langid(docs)
+        langid(kept)
         .filter(F.col("lang_pred").isin(*langs))
         .select("doc_id")
     )
