@@ -40,6 +40,11 @@ DEPTH = int(os.environ.get("CRAWLSPARK_BENCH_DEPTH", "2"))
 HOT = int(os.environ.get("CRAWLSPARK_BENCH_HOT", "3"))
 WIDE_HOSTS = int(os.environ.get("CRAWLSPARK_BENCH_WIDE_HOSTS", "4000"))
 WIDE_BRANCHING = int(os.environ.get("CRAWLSPARK_BENCH_WIDE_BRANCHING", "50"))
+#  payload: 1000 hosts depth 1 with a qjpg image+caption on every
+#           child page, decode+PSNR verified per row in the timed
+#           parse (the input_hint crawl shape)
+PAY_HOSTS = int(os.environ.get("CRAWLSPARK_BENCH_PAY_HOSTS", "1000"))
+PAY_BRANCHING = int(os.environ.get("CRAWLSPARK_BENCH_PAY_BRANCHING", "50"))
 
 
 def build_spark(cpus: str = CPUS):
@@ -64,6 +69,58 @@ def build_spark(cpus: str = CPUS):
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )
+
+
+def _payload_drain(spark, n_hosts, branching, hot) -> tuple[float, dict]:
+    """The input_hint crawl at bench scale: every child page carries a
+    qjpg image + caption; the parse map decodes each payload and
+    checks PSNR>=40 vs the synthesized truth (check_payload=True —
+    the per-row fidelity work is IN the timed path). Corpus
+    generation is untimed."""
+    import tempfile
+
+    from crawlspark import benchgen
+    from crawlspark.config import CrawlConfig
+    from crawlspark.engine import SparkCrawler
+
+    web_dir = os.path.join(
+        tempfile.gettempdir(), f"crawlpay-web-{n_hosts}-{branching}-{hot}"
+    )
+    img_dir = os.path.join(
+        tempfile.gettempdir(), f"crawlpay-img-{n_hosts}-{branching}-{hot}"
+    )
+    if not os.path.exists(os.path.join(web_dir, "_SUCCESS")):
+        benchgen.gen_pages(spark, n_hosts, branching, 1, hot, with_images=True)\
+            .write.mode("overwrite").parquet(web_dir)
+        benchgen.gen_images(spark, n_hosts, branching, 1, hot)\
+            .write.mode("overwrite").parquet(img_dir)
+    cfg = CrawlConfig(
+        From=benchgen.seed_urls(n_hosts), MaxDepth=1, RespectNofollow=False,
+        shuffle_partitions=max(int(CPUS), 8),
+        parse_partitions=3 * max(int(CPUS), 8),
+        detailed_metrics=False,
+    )
+    crawler = SparkCrawler(
+        spark, cfg, spark.read.parquet(web_dir),
+        benchgen.gen_robots(spark, n_hosts),
+        images_df=spark.read.parquet(img_dir),
+        workdir=tempfile.mkdtemp(prefix="crawlpay-"), check_payload=True,
+    )
+    t0 = time.time()
+    crawler.run()
+    secs = time.time() - t0
+    fetched = sum(m.get("fetched", 0) for m in crawler.store.metrics())
+    ok = crawler.results().filter(
+        "Payload IS NOT NULL AND Payload.PixelsOk"
+    ).count()
+    expected = benchgen.expected_counts(n_hosts, branching, 1, hot)
+    assert fetched == expected, (fetched, expected)
+    assert ok == expected - n_hosts, (ok, expected, n_hosts)  # every child verified
+    return secs, {
+        "fetched": fetched,
+        "payload_verified": ok,
+        "urls_per_sec": round(fetched / secs, 1),
+    }
 
 
 def _drain(spark, n_hosts, branching, depth, hot, bucketed: bool = False) -> tuple[float, dict]:
@@ -127,7 +184,8 @@ def bench_crawl(spark) -> tuple[float, dict, float, dict]:
     # opts out (plain parquet corpus).
     bucketed = os.environ.get("CRAWLSPARK_BENCH_BUCKETED", "1") != "0"
     wide_secs, wide = _drain(spark, WIDE_HOSTS, WIDE_BRANCHING, 1, HOT, bucketed=bucketed)
-    return deep_secs, deep, wide_secs, wide
+    pay_secs, pay = _payload_drain(spark, PAY_HOSTS, PAY_BRANCHING, HOT)
+    return deep_secs, deep, wide_secs, wide, pay_secs, pay
 
 
 HEADLINE = [
@@ -185,7 +243,7 @@ def main():
     spark = build_spark()
     spark.sparkContext.setLogLevel("ERROR")
 
-    deep_secs, deep, wide_secs, wide = bench_crawl(spark)
+    deep_secs, deep, wide_secs, wide, pay_secs, pay = bench_crawl(spark)
     # fresh JVM for the query section: a 400k-URL crawl leaves the
     # executor heap GC-pressured, which measured a ~4x slowdown on the
     # heaviest pure-JVM query (minhash 1.1 s fresh vs 4.3 s after a
@@ -197,21 +255,26 @@ def main():
     qtimes = bench_queries(spark)
 
     query_secs = {k: v for k, v in qtimes.items() if not k.endswith("_rows")}
-    total = round(deep_secs + wide_secs + sum(query_secs.values()), 3)
+    total = round(deep_secs + wide_secs + pay_secs + sum(query_secs.values()), 3)
     result = {
         "metric": "crawl+analysis wall seconds (crawl_deep = "
         f"{deep['fetched']}-URL depth-{DEPTH} BFS; crawl_wide = "
-        f"{wide['fetched']}-URL frontier drain)",
+        f"{wide['fetched']}-URL frontier drain; crawl_payload = "
+        f"{pay['fetched']}-URL image+caption crawl, "
+        f"{pay['payload_verified']} payloads decoded+PSNR-verified)",
         "value": total,
         "unit": "sec",
         "queries": {
             "crawl_deep": round(deep_secs, 3),
             "crawl_wide": round(wide_secs, 3),
+            "crawl_payload": round(pay_secs, 3),
             **query_secs,
         },
         "sf": SF_DIR,
         "urls_per_sec": wide["urls_per_sec"],
         "urls_per_sec_deep": deep["urls_per_sec"],
+        "urls_per_sec_payload": pay["urls_per_sec"],
+        "payload_verified": pay["payload_verified"],
         "cpus": int(CPUS),
         "rows": {k[:-5]: v for k, v in qtimes.items() if k.endswith("_rows")},
     }
