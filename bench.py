@@ -113,9 +113,26 @@ def _payload_drain(spark, n_hosts, branching, hot) -> tuple[float, dict]:
     ok = crawler.results().filter(
         "Payload IS NOT NULL AND Payload.PixelsOk"
     ).count()
+    # caption equality (the input_hint's second per-row invariant):
+    # emitted captions must match the source corpus exactly — checked
+    # by an untimed join back against the images table
+    from pyspark.sql import functions as F
+
+    cap_ok = (
+        crawler.results()
+        .filter("Payload IS NOT NULL")
+        .select(
+            F.col("Payload.ImageId").alias("image_id"),
+            F.col("Payload.Caption").alias("got"),
+        )
+        .join(spark.read.parquet(img_dir).select("image_id", "caption"), "image_id")
+        .filter(F.col("got") == F.col("caption"))
+        .count()
+    )
     expected = benchgen.expected_counts(n_hosts, branching, 1, hot)
     assert fetched == expected, (fetched, expected)
     assert ok == expected - n_hosts, (ok, expected, n_hosts)  # every child verified
+    assert cap_ok == ok, (cap_ok, ok)  # caption equality, row-by-row
     return secs, {
         "fetched": fetched,
         "payload_verified": ok,
