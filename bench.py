@@ -100,6 +100,13 @@ def _payload_drain(spark, n_hosts, branching, hot) -> tuple[float, dict]:
         parse_partitions=3 * max(int(CPUS), 8),
         detailed_metrics=False,
     )
+    # The engine's lazy pages ⋈ images join is the right plan at THIS
+    # scale: AQE broadcasts the 51k-row frontier so the fetch join
+    # never shuffles at all. A/B-measured against a pre-materialized
+    # bucketed (pages+image) corpus: lazy ~9.5 s vs bucketed ~10.5 s —
+    # the forced sort-merge forgoes the broadcast. At 10^8+-row waves
+    # the frontier stops broadcasting and the bucketed corpus wins
+    # (PLANS.md payload row documents that deployment shape).
     crawler = SparkCrawler(
         spark, cfg, spark.read.parquet(web_dir),
         benchgen.gen_robots(spark, n_hosts),
