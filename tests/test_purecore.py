@@ -387,3 +387,42 @@ def test_phash_deterministic_and_discriminative():
 def test_pil_formats_are_stubbed():
     with pytest.raises(NotImplementedError):
         imagecodec.decode(b"\xff\xd8\xff", "jpeg")
+
+
+def test_qvid_property_roundtrip():
+    """Property (hypothesis): any list of uniform random RGB frames
+    survives the QVID container with per-frame PSNR>=40 (the qjpg
+    quantizer's fidelity bound) and exact frame count/order; sampled
+    iteration equals the full decode at the sampled indices."""
+    import hypothesis.strategies as st
+    import numpy as np
+    from hypothesis import given, settings
+
+    from crawlspark import imagecodec, videocodec
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        st.integers(min_value=1, max_value=6),
+        st.integers(min_value=4, max_value=12),
+        st.integers(min_value=4, max_value=12),
+        st.integers(min_value=0, max_value=2**32 - 1),
+        st.integers(min_value=1, max_value=4),
+    )
+    def check(n_frames, w, h, seed, every_n):
+        rng = np.random.RandomState(seed)
+        frames = [
+            rng.randint(0, 256, size=(h, w, 3)).astype(np.uint8)
+            for _ in range(n_frames)
+        ]
+        blob = videocodec.encode_qvid(frames)
+        assert videocodec.video_meta(blob) == (n_frames, w, h)
+        dec = videocodec.decode_qvid(blob)
+        assert len(dec) == n_frames
+        for orig, got in zip(frames, dec):
+            assert imagecodec.psnr(orig, got) >= 40.0
+        sampled = dict(videocodec.iter_frames(blob, every_n))
+        assert sorted(sampled) == list(range(0, n_frames, every_n))
+        for i, arr in sampled.items():
+            assert np.array_equal(arr, dec[i])
+
+    check()
