@@ -271,6 +271,25 @@ class SparkCrawler:
                         self._warm_bits = spark.read.parquet(
                             *binfo["files"]
                         ).select("shard", "bits")
+                        # layout guard: probing warm bits with a
+                        # mismatched filter config would silently
+                        # answer definitely-new for seen URLs (double
+                        # fetches — an exactness break, not a perf
+                        # bug). One tiny job at construction.
+                        want = (
+                            self.bloom_cfg.state_bytes
+                            if hasattr(self.bloom_cfg, "state_bytes")
+                            else self.bloom_cfg.bits_per_shard // 8
+                        )
+                        probe_row = self._warm_bits.limit(1).collect()
+                        if probe_row and len(probe_row[0]["bits"]) != want:
+                            raise ValueError(
+                                "warm_store seen-filter layout mismatch: "
+                                f"prior shard blob is {len(probe_row[0]['bits'])} "
+                                f"bytes, this config expects {want} — use the "
+                                "same seen_filter/bloom_* settings as the "
+                                "original crawl"
+                            )
                         break
         # the "web": pages keyed by fragmentless canonical url
         self.pages = pages_df

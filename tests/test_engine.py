@@ -528,6 +528,34 @@ def test_expire_then_warm_recrawl_reemits_once(spark, tmp_path):
         assert emitted3 == sorted(seeds), (backend, emitted3)
 
 
+def test_warm_store_filter_layout_mismatch_rejected(spark, tmp_path):
+    """A warm re-crawl with different seen-filter settings must fail
+    LOUDLY at construction: probing prior bits under a mismatched
+    layout would silently answer definitely-new for seen URLs and
+    double-fetch them (an exactness break, not a perf bug)."""
+    pages_pdf, robots_pdf, seeds = testkit.nice_site(branching=2, max_id_len=2)
+    cfg1 = CrawlConfig(From=seeds, MaxDepth=1, bloom_prefilter=True,
+                       bloom_min_seen=0, bloom_shards=4,
+                       bloom_bits_per_shard=1 << 12)
+    g1 = SparkCrawler(
+        spark, cfg1,
+        testkit.pages_to_spark(spark, pages_pdf),
+        testkit.robots_to_spark(spark, robots_pdf),
+        workdir=str(tmp_path / "wg1"),
+    )
+    g1.run()
+    cfg2 = CrawlConfig(From=seeds, MaxDepth=1, bloom_prefilter=True,
+                       bloom_min_seen=0, bloom_shards=4,
+                       bloom_bits_per_shard=1 << 14)  # different layout
+    with pytest.raises(ValueError, match="layout mismatch"):
+        SparkCrawler(
+            spark, cfg2,
+            testkit.pages_to_spark(spark, pages_pdf),
+            testkit.robots_to_spark(spark, robots_pdf),
+            workdir=str(tmp_path / "wg2"), warm_store=str(tmp_path / "wg1"),
+        )
+
+
 def test_warm_recrawl_midwave_resume(spark, tmp_path):
     """The warm seen-set must survive a mid-wave interruption WITHOUT
     re-passing warm_store: it is committed into the new store at seed
