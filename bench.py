@@ -89,11 +89,15 @@ def _payload_drain(spark, n_hosts, branching, hot) -> tuple[float, dict]:
     img_dir = os.path.join(
         tempfile.gettempdir(), f"crawlpay-img-{n_hosts}-{branching}-{hot}"
     )
-    if not os.path.exists(os.path.join(web_dir, "_SUCCESS")):
-        benchgen.gen_pages(spark, n_hosts, branching, 1, hot, with_images=True)\
-            .write.mode("overwrite").parquet(web_dir)
+    # images FIRST and both dirs gated on _SUCCESS: a kill between
+    # the two writes must not leave a web_dir that skips regeneration
+    # of a missing/partial img_dir (code-review r04)
+    if not (os.path.exists(os.path.join(web_dir, "_SUCCESS"))
+            and os.path.exists(os.path.join(img_dir, "_SUCCESS"))):
         benchgen.gen_images(spark, n_hosts, branching, 1, hot)\
             .write.mode("overwrite").parquet(img_dir)
+        benchgen.gen_pages(spark, n_hosts, branching, 1, hot, with_images=True)\
+            .write.mode("overwrite").parquet(web_dir)
     cfg = CrawlConfig(
         From=benchgen.seed_urls(n_hosts), MaxDepth=1, RespectNofollow=False,
         shuffle_partitions=max(int(CPUS), 8),
@@ -189,7 +193,7 @@ def _drain(spark, n_hosts, branching, depth, hot, bucketed: bool = False) -> tup
     return secs, {"fetched": fetched, "urls_per_sec": round(fetched / secs, 1)}
 
 
-def bench_crawl(spark) -> tuple[float, dict, float, dict]:
+def bench_crawl(spark) -> tuple[float, dict, float, dict, float, dict]:
     # untimed warmup: spins up the JVM codegen paths + reusable Python
     # workers so the timed drains measure steady-state crawl throughput,
     # not one-time process startup (the deep drain is only ~10 s of

@@ -109,6 +109,34 @@ def _robots_allowed_udf(robots_user_agent: str):
     return allowed
 
 
+def _effective_seen_keys(store: SnapshotStore) -> DataFrame | None:
+    """THE seen-set recipe, in one place (code-review r04 dedup):
+    frontier slices ∪ the store's own warm_seen table, minus expired
+    tombstones. Used for the warm-start load (prior store), the
+    public seen() view, and expire()'s survivor set."""
+    fr = store.read("frontier")
+    if fr is None:
+        return None
+    keys = fr.select("url_key")
+    warm = store.read("warm_seen")
+    if warm is not None:
+        keys = keys.unionByName(warm.select("url_key"))
+    keys = keys.distinct()
+    tomb = store.read("expired")
+    if tomb is not None:
+        keys = keys.join(tomb.select("url_key").distinct(), "url_key", "left_anti")
+    return keys
+
+
+def _latest_bloom_of(spark: SparkSession, store: SnapshotStore) -> DataFrame | None:
+    """Newest committed seen-filter slice of a store, or None."""
+    for m in reversed(store._manifests()):
+        info = m["tables"].get("bloom")
+        if info:
+            return spark.read.parquet(*info["files"]).select("shard", "bits")
+    return None
+
+
 def _rows_to_pdf(rows: list[dict]) -> pd.DataFrame:
     cols = [f.name for f in RESULT_FULL_SCHEMA.fields]
     return pd.DataFrame({c: [r.get(c) for r in rows] for c in cols})
@@ -252,45 +280,11 @@ class SparkCrawler:
         self._warm_bits: DataFrame | None = None
         if warm_store:
             prior = SnapshotStore(spark, warm_store)
-            fr = prior.read("frontier")
-            if fr is not None:
-                keys = fr.select("url_key")
-                pw = prior.read("warm_seen")  # chain: gen N-1's own warm set
-                if pw is not None:
-                    keys = keys.unionByName(pw.select("url_key"))
-                keys = keys.distinct()
-                tomb = prior.read("expired")
-                if tomb is not None:
-                    keys = keys.join(
-                        tomb.select("url_key").distinct(), "url_key", "left_anti"
-                    )
-                self._warm_seen = keys
-                for m in reversed(prior._manifests()):
-                    binfo = m["tables"].get("bloom")
-                    if binfo:
-                        self._warm_bits = spark.read.parquet(
-                            *binfo["files"]
-                        ).select("shard", "bits")
-                        # layout guard: probing warm bits with a
-                        # mismatched filter config would silently
-                        # answer definitely-new for seen URLs (double
-                        # fetches — an exactness break, not a perf
-                        # bug). One tiny job at construction.
-                        want = (
-                            self.bloom_cfg.state_bytes
-                            if hasattr(self.bloom_cfg, "state_bytes")
-                            else self.bloom_cfg.bits_per_shard // 8
-                        )
-                        probe_row = self._warm_bits.limit(1).collect()
-                        if probe_row and len(probe_row[0]["bits"]) != want:
-                            raise ValueError(
-                                "warm_store seen-filter layout mismatch: "
-                                f"prior shard blob is {len(probe_row[0]['bits'])} "
-                                f"bytes, this config expects {want} — use the "
-                                "same seen_filter/bloom_* settings as the "
-                                "original crawl"
-                            )
-                        break
+            if prior.read("frontier") is not None:
+                self._warm_seen = _effective_seen_keys(prior)
+                self._warm_bits = _latest_bloom_of(spark, prior)
+                if self._warm_bits is not None:
+                    self._check_warm_filter_layout(prior)
         # the "web": pages keyed by fragmentless canonical url
         self.pages = pages_df
         if images_df is not None:
@@ -357,7 +351,13 @@ class SparkCrawler:
         host with many blocked rows just defers a little more."""
         threshold = self.cfg.hot_host_salt_threshold
         host_counts = gated.groupBy("host").agg(F.count("*").alias("_host_n"))
-        counted = gated.join(F.broadcast(host_counts), "host", "left")
+        # no forced broadcast hint (code-review r04): a broad-web wave
+        # has 10^6-10^7 distinct hosts — an unconditional broadcast of
+        # the counts frame would OOM the driver on exactly the
+        # production path. AQE broadcasts it when it is actually small
+        # and falls back to a shuffle join (with skew-split) otherwise;
+        # the join's probe side streams, it never sorts a hot host.
+        counted = gated.join(host_counts, "host", "left")
         n_slices = F.greatest(
             F.lit(1),
             F.ceil(F.coalesce(F.col("_host_n"), F.lit(1)) / F.lit(threshold)),
@@ -575,13 +575,24 @@ class SparkCrawler:
                 )
                 store.stage("bloom", bits, 0, manifest_wave=-1)
             elif cfg.bloom_prefilter and info["rows"] >= cfg.bloom_min_seen:
+                # seed-time activation: the bits must cover the WHOLE
+                # effective seen-set — on a warm re-crawl whose prior
+                # store had no bits (_warm_bits None), that includes
+                # the warm seen history; seeding only the seed list
+                # would make warm-seen URLs probe definitely-new and
+                # re-fetch them (exactness break — code-review r04)
+                seed_keys = frontier.select("url_key")
+                if self._warm_seen is not None:
+                    seed_keys = seed_keys.unionByName(self._warm_seen)
                 bits = self.seenfilter.mark(
-                    frontier.select("url_key"),
+                    seed_keys,
                     self.seenfilter.empty_bits_df(self.spark, self.bloom_cfg),
                     "url_key", self.bloom_cfg,
                 )
                 store.stage("bloom", bits, 0, manifest_wave=-1)
-            store.commit_wave(-1, {"phase": "seeded"})
+            store.commit_wave(
+                -1, {"phase": "seeded", "filter_cfg": self._filter_cfg_sig()}
+            )
             d = 0
 
         while True:
@@ -859,12 +870,60 @@ class SparkCrawler:
 
     def _latest_bloom(self) -> DataFrame:
         # bloom bits are full-state per wave: read only the newest slice
-        ms = self.store._manifests()
-        for m in reversed(ms):
-            info = m["tables"].get("bloom")
-            if info:
-                return self.spark.read.parquet(*info["files"]).select("shard", "bits")
+        bits = _latest_bloom_of(self.spark, self.store)
+        if bits is not None:
+            return bits
         return self.seenfilter.empty_bits_df(self.spark, self.bloom_cfg)
+
+    def _filter_cfg_sig(self) -> dict:
+        """The seen-filter layout signature recorded in the seed (and
+        expiry) manifests: bits are only probe-compatible between runs
+        whose signatures are EQUAL — shard count, size and hash count
+        all change the key->bit mapping even at identical blob sizes
+        (code-review r04)."""
+        cfg = self.cfg
+        return {
+            "backend": cfg.seen_filter,
+            "shards": cfg.bloom_shards,
+            "bits_per_shard": cfg.bloom_bits_per_shard,
+            "hashes": cfg.bloom_hashes,
+        }
+
+    def _check_warm_filter_layout(self, prior: SnapshotStore) -> None:
+        """Fail LOUDLY on a warm start whose filter config mismatches
+        the prior store's: probing prior bits under a different layout
+        silently answers definitely-new for seen URLs (double fetches
+        — an exactness break, not a perf bug). Prefers the recorded
+        config signature; falls back to a blob-length probe for stores
+        written before signatures were recorded."""
+        prior_sig = None
+        for m in reversed(prior._manifests()):
+            s = m.get("metrics", {}).get("filter_cfg")
+            if s:
+                prior_sig = s
+                break
+        if prior_sig is not None:
+            if prior_sig != self._filter_cfg_sig():
+                raise ValueError(
+                    "warm_store seen-filter layout mismatch: prior crawl "
+                    f"used {prior_sig}, this config is {self._filter_cfg_sig()} "
+                    "— use the same seen_filter/bloom_* settings as the "
+                    "original crawl"
+                )
+            return
+        want = (
+            self.bloom_cfg.state_bytes
+            if hasattr(self.bloom_cfg, "state_bytes")
+            else self.bloom_cfg.bits_per_shard // 8
+        )
+        probe_row = self._warm_bits.limit(1).collect()
+        if probe_row and len(probe_row[0]["bits"]) != want:
+            raise ValueError(
+                "warm_store seen-filter layout mismatch: prior shard blob "
+                f"is {len(probe_row[0]['bits'])} bytes, this config expects "
+                f"{want} — use the same seen_filter/bloom_* settings as the "
+                "original crawl"
+            )
 
     # ------------------------------------------------------------------
 
@@ -888,21 +947,10 @@ class SparkCrawler:
             out = out.orderBy("Depth", "Priority", "UrlKey")
         return out
 
-    def _seen_keys(self) -> DataFrame:
+    def seen(self) -> DataFrame:
         """Effective seen-set: every URL this store enqueued, plus the
         warm-started seen history, minus expired tombstones."""
-        keys = self.store.read("frontier").select("url_key")
-        warm = self.store.read("warm_seen")
-        if warm is not None:
-            keys = keys.unionByName(warm.select("url_key"))
-        keys = keys.distinct()
-        tomb = self.store.read("expired")
-        if tomb is not None:
-            keys = keys.join(tomb.select("url_key").distinct(), "url_key", "left_anti")
-        return keys
-
-    def seen(self) -> DataFrame:
-        return self._seen_keys()
+        return _effective_seen_keys(self.store)
 
     def expire(self, url_keys) -> dict:
         """Re-crawl expiry: remove `url_keys` from this store's
@@ -922,19 +970,52 @@ class SparkCrawler:
         works identically for bloom and cuckoo backends, and clears a
         shard's overflow flag when the survivors fit again. delete()
         remains the cheap primitive for callers whose keys are
-        guaranteed collision-free (see cuckoofilter.py contract)."""
+        guaranteed collision-free (see cuckoofilter.py contract).
+
+        Inputs are matched against the effective seen-set over their
+        CANONICAL candidate forms (raw, canon_seed, and the extended
+        key when canon_mode='extended') — an operator pasting a fetch
+        URL with unsorted query params must not get a silent no-op
+        tombstone (code-review r04). Only MATCHED keys are staged;
+        the metrics report requested vs expired so a mismatch is
+        visible."""
         from .bloomfilter import with_shard_cols
 
         spark, store = self.spark, self.store
-        keys = (
-            url_keys.select("url_key")
-            if isinstance(url_keys, DataFrame)
-            else spark.createDataFrame([(k,) for k in url_keys], "url_key: string")
-        ).distinct()
+        if isinstance(url_keys, DataFrame):
+            cand = url_keys.select("url_key")
+            requested = cand.distinct().count()
+        else:
+            extended = self.cfg.canon_mode == "extended"
+            forms = set()
+            for raw in url_keys:
+                forms.add(raw)
+                cs = canon.canon_seed(raw)
+                if cs is not None:
+                    forms.add(cs)
+                    if extended:
+                        forms.add(canon.extended_canon(cs) or cs)
+            requested = len(url_keys)
+            cand = spark.createDataFrame(
+                [(k,) for k in sorted(forms)], "url_key: string"
+            )
+        seen_now = _effective_seen_keys(store)
+        keys = cand.distinct()
+        if seen_now is not None:
+            keys = keys.join(seen_now, "url_key", "left_semi")
         last = store.last_complete_wave()
         e = (last if last is not None else -1) + 1
         info = store.stage("expired", keys, e, manifest_wave=e)
-        metrics = {"phase": "expired", "expired": info["rows"]}
+        metrics = {"phase": "expired", "requested": requested, "expired": info["rows"]}
+        if info["rows"] < requested:
+            import sys
+
+            print(
+                f"crawlspark: expire matched {info['rows']} of {requested} "
+                "requested URLs against the seen-set (unmatched inputs are "
+                "not seen under any canonical form — nothing to expire)",
+                file=sys.stderr,
+            )
         if self.cfg.bloom_prefilter and self._bloom_active():
             staged = spark.read.parquet(*info["files"])
             prior_tomb = store.read("expired")
@@ -956,6 +1037,9 @@ class SparkCrawler:
             warm = store.read("warm_seen")
             if warm is not None:
                 base = base.unionByName(warm.select("url_key"))
+            # NOT _effective_seen_keys: that already subtracts the
+            # committed tombstones, but `tomb` here additionally holds
+            # the slice staged above (not yet committed)
             survivors = base.distinct().join(tomb, "url_key", "left_anti")
             surv = (
                 with_shard_cols(survivors, "url_key", self.bloom_cfg)
@@ -973,5 +1057,6 @@ class SparkCrawler:
             )
             store.stage("bloom", bits2, e + 1, manifest_wave=e)
             metrics["rebuilt_shards"] = len(affected)
+        metrics["filter_cfg"] = self._filter_cfg_sig()
         store.commit_wave(e, metrics)
         return metrics

@@ -43,17 +43,26 @@ def main():
         pages = pages_to_spark(spark, pages_pdf)
         robots = robots_to_spark(spark, robots_pdf)
 
-    # atexit-cleaned scratch dir (ADVICE r02: mkdtemp here leaked a
-    # full snapshot store in /tmp per spark-submit run)
+    # Kept-on-interrupt workdir, removed only after SUCCESS: an
+    # atexit-cleaned scratch dir here (the ADVICE r02 anti-leak fix)
+    # would also fire on Ctrl-C and destroy exactly the mid-wave
+    # checkpoint run(resume=True) needs (code-review r04); an
+    # explicit post-success rmtree keeps /tmp clean for completed
+    # runs while an interrupted run preserves its snapshot store
+    # (the kept path is printed by crawl_workdir).
+    import shutil
+
     from crawlspark import scratch
 
-    crawler = SparkCrawler(spark, cfg, pages, robots, workdir=scratch.scratch_dir())
+    workdir = scratch.crawl_workdir()
+    crawler = SparkCrawler(spark, cfg, pages, robots, workdir=workdir)
     crawler.run()
     print("METRICS " + json.dumps(crawler.store.metrics()))
     n = crawler.results().count()
     print(f"RESULTS {n}")
     for row in crawler.results().limit(3).collect():
         print("ROW", row["Depth"], row["Priority"], row["UrlKey"], row["StatusCode"])
+    shutil.rmtree(workdir, ignore_errors=True)
 
 
 if __name__ == "__main__":
