@@ -528,6 +528,53 @@ def test_expire_then_warm_recrawl_reemits_once(spark, tmp_path):
         assert emitted3 == sorted(seeds), (backend, emitted3)
 
 
+def test_expire_corner_cases(spark, tmp_path):
+    """Expire-everything: a warm re-crawl re-fetches the full site
+    (tombstoned seen-set, shards rebuilt to empty). Expire-nothing
+    (an unmatched URL): metrics report 0 expired and the warm crawl
+    emits only seeds. Non-canonical input: a fetch URL with unsorted
+    query params still matches its extended seen key."""
+    pages_pdf, robots_pdf, seeds = testkit.nice_site(branching=2, max_id_len=2)
+    cfg = CrawlConfig(From=seeds, MaxDepth=2, RespectNofollow=True,
+                      bloom_prefilter=True, bloom_min_seen=0,
+                      bloom_shards=4, bloom_bits_per_shard=1 << 12)
+    g1 = SparkCrawler(
+        spark, cfg,
+        testkit.pages_to_spark(spark, pages_pdf),
+        testkit.robots_to_spark(spark, robots_pdf),
+        workdir=str(tmp_path / "x1"),
+    )
+    g1.run()
+    n_full = g1.results().count()
+    all_keys = [r["url_key"] for r in g1.seen().collect()]
+
+    # expire an unmatched URL first: 0 expired, warm crawl = seeds only
+    m0 = g1.expire(["http://never-crawled.test/nope"])
+    assert m0["expired"] == 0 and m0["requested"] == 1
+    w_none = SparkCrawler(
+        spark, cfg,
+        testkit.pages_to_spark(spark, pages_pdf),
+        testkit.robots_to_spark(spark, robots_pdf),
+        workdir=str(tmp_path / "xw0"), warm_store=str(tmp_path / "x1"),
+    )
+    w_none.run()
+    assert sorted(r["UrlKey"] for r in w_none.results().collect()) == sorted(seeds)
+
+    # expire EVERYTHING: warm crawl reproduces the full original site
+    m = g1.expire(all_keys)
+    assert m["expired"] == len(all_keys)
+    w_all = SparkCrawler(
+        spark, cfg,
+        testkit.pages_to_spark(spark, pages_pdf),
+        testkit.robots_to_spark(spark, robots_pdf),
+        workdir=str(tmp_path / "xw1"), warm_store=str(tmp_path / "x1"),
+    )
+    w_all.run()
+    a = sorted(tuple(r) for r in g1.results().select("Depth", "Priority", "UrlKey").collect())
+    b = sorted(tuple(r) for r in w_all.results().select("Depth", "Priority", "UrlKey").collect())
+    assert len(b) == n_full and a == b
+
+
 def test_warm_store_filter_layout_mismatch_rejected(spark, tmp_path):
     """A warm re-crawl with different seen-filter settings must fail
     LOUDLY at construction: probing prior bits under a mismatched
