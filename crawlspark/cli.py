@@ -84,12 +84,20 @@ def _run_crawl(
         pages_pdf, robots_pdf, _ = matrix_site()
         pages_df = pages_to_spark(spark, pages_pdf)
         robots_df = robots_to_spark(spark, robots_pdf)
-    crawler = SparkCrawler(
-        spark, cfg, pages_df, robots_df,
-        workdir=workdir or scratch.crawl_workdir(), warm_store=warm,
-    )
+    auto_workdir = workdir is None
+    wd = workdir or scratch.crawl_workdir()
+    crawler = SparkCrawler(spark, cfg, pages_df, robots_df, workdir=wd, warm_store=warm)
     crawler.run()
-    return _emit_ndjson(crawler)
+    n = _emit_ndjson(crawler)
+    if auto_workdir:
+        # successful run, auto-created store: nothing to resume, so the
+        # snapshot dir would just leak in /tmp (ADVICE r04; mirrors
+        # submit_crawl.py). Kept on exception/interrupt — that is the
+        # mid-wave checkpoint run(resume=True) needs.
+        import shutil
+
+        shutil.rmtree(wd, ignore_errors=True)
+    return n
 
 
 def main(argv: list[str] | None = None) -> int:

@@ -659,8 +659,17 @@ class SparkCrawler:
         # re-evaluating the gate join + robots UDF once per branch and
         # doubling the stage's tasks on EVERY budgeted wave; now
         # _apply_budget ranks allowed rows only and rides blocked rows
-        # in sub-wave 0, so the robots UDF evaluates exactly once per
-        # wave on every path (plan-asserted in tests/test_engine.py).
+        # in sub-wave 0, so each RESULTS job evaluates the robots UDF
+        # exactly once (plan-asserted in tests/test_engine.py).
+        # Precisely (ADVICE r04): unbudgeted waves and budgeted
+        # sub-waves >0 (which regate a STAGED pending slice) run one
+        # gate evaluation per wave; a budgeted wave's sub-wave 0 runs
+        # two jobs over the same lazy gated frame — stage results
+        # (take) and stage pending_sub0 (defer) — so the gate join +
+        # UDF evaluate once more there. The UDF is deterministic, so
+        # output is unaffected; staging the ranked frame first would
+        # avoid the re-eval but writes robots_body per frontier row
+        # (a much larger write than the ~0.7 s gate recompute).
         parsed_slices = []
         remaining = gated
         subwave = 0
@@ -889,6 +898,17 @@ class SparkCrawler:
             "hashes": cfg.bloom_hashes,
         }
 
+    @staticmethod
+    def _recorded_filter_sig(store: SnapshotStore) -> dict | None:
+        """The newest filter-layout signature a store has committed
+        (seed, wave or expiry manifest), or None for stores written
+        before signatures were recorded."""
+        for m in reversed(store._manifests()):
+            s = m.get("metrics", {}).get("filter_cfg")
+            if s:
+                return s
+        return None
+
     def _check_warm_filter_layout(self, prior: SnapshotStore) -> None:
         """Fail LOUDLY on a warm start whose filter config mismatches
         the prior store's: probing prior bits under a different layout
@@ -896,12 +916,7 @@ class SparkCrawler:
         — an exactness break, not a perf bug). Prefers the recorded
         config signature; falls back to a blob-length probe for stores
         written before signatures were recorded."""
-        prior_sig = None
-        for m in reversed(prior._manifests()):
-            s = m.get("metrics", {}).get("filter_cfg")
-            if s:
-                prior_sig = s
-                break
+        prior_sig = self._recorded_filter_sig(prior)
         if prior_sig is not None:
             if prior_sig != self._filter_cfg_sig():
                 raise ValueError(
@@ -976,44 +991,94 @@ class SparkCrawler:
         CANONICAL candidate forms (raw, canon_seed, and the extended
         key when canon_mode='extended') — an operator pasting a fetch
         URL with unsorted query params must not get a silent no-op
-        tombstone (code-review r04). Only MATCHED keys are staged;
-        the metrics report requested vs expired so a mismatch is
-        visible."""
+        tombstone (code-review r04). Only MATCHED keys are staged; the
+        metrics count DISTINCT inputs and matches PER INPUT (any form
+        matched) — form-level counting let one input matching two seen
+        forms mask another input's silent no-op, and duplicate inputs
+        fired a spurious warning (ADVICE r04). ``tombstone_rows``
+        carries the staged form count separately.
+
+        Two entry guards protect exactness (ADVICE r04):
+
+        * the store's RECORDED filter layout must equal this config's
+          — expire() rebuilds affected shards under self.cfg and then
+          records self.cfg's signature in the newest manifest (the one
+          a later warm start consults), so running it with different
+          bloom_*/seen_filter settings would union wrong-layout bits
+          with old-layout blobs AND overwrite the evidence;
+        * the store must be a COMPLETED crawl — on an interrupted
+          store the expiry manifest would supersede the interrupted
+          wave's checkpoints as last_complete_wave, so a later
+          run(resume=True) finds no frontier and silently ends the
+          crawl incomplete. Resume (or discard) the crawl first."""
         from .bloomfilter import with_shard_cols
 
         spark, store = self.spark, self.store
+        last = store.last_complete_wave()
+        if last is None:
+            raise RuntimeError(
+                f"expire: {self.workdir} has no committed crawl — nothing to expire"
+            )
+        prior_sig = self._recorded_filter_sig(store)
+        if prior_sig is not None and prior_sig != self._filter_cfg_sig():
+            raise ValueError(
+                "expire: seen-filter layout mismatch — the store was written "
+                f"with {prior_sig}, this config is {self._filter_cfg_sig()}. "
+                "Rebuilding shards under a different layout would corrupt the "
+                "filter and overwrite the recorded signature; rerun expire "
+                "with the original seen_filter/bloom_* settings"
+            )
+        e = last + 1
+        nxt_frontier = store._manifests()[-1]["tables"].get("frontier")
+        if store.parts(e) or (nxt_frontier and nxt_frontier.get("rows", 0) > 0):
+            raise RuntimeError(
+                f"expire: {self.workdir} holds an interrupted crawl (pending "
+                f"frontier or mid-wave checkpoints for wave {e}) — an expiry "
+                "manifest would supersede them and break run(resume=True). "
+                "Finish the crawl with run(resume=True) first, or discard "
+                "the workdir"
+            )
         if isinstance(url_keys, DataFrame):
-            cand = url_keys.select("url_key")
-            requested = cand.distinct().count()
+            pairs = url_keys.select(
+                F.col("url_key").alias("_input"), F.col("url_key")
+            ).distinct()
+            requested = pairs.select("_input").distinct().count()
         else:
             extended = self.cfg.canon_mode == "extended"
-            forms = set()
-            for raw in url_keys:
-                forms.add(raw)
+            rows = []
+            inputs = list(dict.fromkeys(url_keys))  # distinct, order-stable
+            for raw in inputs:
+                forms = {raw}
                 cs = canon.canon_seed(raw)
                 if cs is not None:
                     forms.add(cs)
                     if extended:
                         forms.add(canon.extended_canon(cs) or cs)
-            requested = len(url_keys)
-            cand = spark.createDataFrame(
-                [(k,) for k in sorted(forms)], "url_key: string"
-            )
+                rows.extend((raw, f) for f in sorted(forms))
+            requested = len(inputs)
+            pairs = spark.createDataFrame(rows, "_input: string, url_key: string")
         seen_now = _effective_seen_keys(store)
-        keys = cand.distinct()
+        matched = pairs
         if seen_now is not None:
-            keys = keys.join(seen_now, "url_key", "left_semi")
-        last = store.last_complete_wave()
-        e = (last if last is not None else -1) + 1
+            matched = pairs.join(seen_now, "url_key", "left_semi")
+        matched = matched.persist()
+        expired_inputs = matched.select("_input").distinct().count()
+        keys = matched.select("url_key").distinct()
         info = store.stage("expired", keys, e, manifest_wave=e)
-        metrics = {"phase": "expired", "requested": requested, "expired": info["rows"]}
-        if info["rows"] < requested:
+        matched.unpersist()
+        metrics = {
+            "phase": "expired",
+            "requested": requested,
+            "expired": expired_inputs,
+            "tombstone_rows": info["rows"],
+        }
+        if expired_inputs < requested:
             import sys
 
             print(
-                f"crawlspark: expire matched {info['rows']} of {requested} "
-                "requested URLs against the seen-set (unmatched inputs are "
-                "not seen under any canonical form — nothing to expire)",
+                f"crawlspark: expire matched {expired_inputs} of {requested} "
+                "distinct input URLs against the seen-set (unmatched inputs "
+                "are not seen under any canonical form — nothing to expire)",
                 file=sys.stderr,
             )
         if self.cfg.bloom_prefilter and self._bloom_active():

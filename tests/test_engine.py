@@ -603,6 +603,81 @@ def test_warm_store_filter_layout_mismatch_rejected(spark, tmp_path):
         )
 
 
+def test_expire_guards_and_metrics(spark, tmp_path):
+    """ADVICE r04 hardening: expire() refuses an empty store, an
+    interrupted crawl (its manifest would supersede the mid-wave
+    checkpoints and break resume), and a mismatched seen-filter
+    layout (rebuilding shards under the wrong config would corrupt
+    the bits AND overwrite the recorded signature the next warm
+    start checks). Metrics count DISTINCT inputs, matched per input."""
+    pages_pdf, robots_pdf, seeds = testkit.nice_site(branching=2, max_id_len=2)
+    cfg = CrawlConfig(From=seeds, MaxDepth=1, bloom_prefilter=True,
+                      bloom_min_seen=0, bloom_shards=4,
+                      bloom_bits_per_shard=1 << 12)
+
+    def crawler(wd, c=cfg):
+        return SparkCrawler(
+            spark, c,
+            testkit.pages_to_spark(spark, pages_pdf),
+            testkit.robots_to_spark(spark, robots_pdf),
+            workdir=str(tmp_path / wd),
+        )
+
+    # empty store: nothing to expire
+    with pytest.raises(RuntimeError, match="no committed crawl"):
+        crawler("empty").expire(seeds)
+
+    # interrupted store: wave 0 committed (frontier for wave 1 staged,
+    # rows > 0), wave 1 never ran — expire must refuse, because its
+    # manifest would become last_complete_wave and resume would find
+    # no frontier beyond it
+    class Interrupted(Exception):
+        pass
+
+    cfg2 = CrawlConfig(From=seeds, MaxDepth=2, bloom_prefilter=True,
+                       bloom_min_seen=0, bloom_shards=4,
+                       bloom_bits_per_shard=1 << 12)
+    part = crawler("interrupted", cfg2)
+    orig = part._run_wave
+
+    def boom(frontier, d, *a, **k):
+        if d == 1:
+            raise Interrupted()
+        return orig(frontier, d, *a, **k)
+
+    part._run_wave = boom
+    with pytest.raises(Interrupted):
+        part.run()
+    with pytest.raises(RuntimeError, match="interrupted"):
+        part.expire(seeds)
+    # ...and after finishing the crawl, expire works again
+    part2 = crawler("interrupted", cfg2)
+    part2.run(resume=True)
+    assert part2.expire([seeds[0]])["expired"] == 1
+
+    # completed store: duplicate inputs count once (no spurious
+    # under-match warning), unmatched inputs are visible per input
+    done = crawler("done")
+    done.run()
+    victim = done.results().filter("Depth = 1").select("UrlKey").first()[0]
+    m = done.expire([victim, victim, "http://never-crawled.test/nope"])
+    assert m["requested"] == 2 and m["expired"] == 1
+    assert m["tombstone_rows"] >= 1
+
+    # mismatched filter layout on the SAME store: refuse before staging
+    cfg_bad = CrawlConfig(From=seeds, MaxDepth=1, bloom_prefilter=True,
+                          bloom_min_seen=0, bloom_shards=4,
+                          bloom_bits_per_shard=1 << 14)
+    bad = SparkCrawler(
+        spark, cfg_bad,
+        testkit.pages_to_spark(spark, pages_pdf),
+        testkit.robots_to_spark(spark, robots_pdf),
+        workdir=str(tmp_path / "done"),
+    )
+    with pytest.raises(ValueError, match="layout mismatch"):
+        bad.expire([victim])
+
+
 def test_warm_recrawl_midwave_resume(spark, tmp_path):
     """The warm seen-set must survive a mid-wave interruption WITHOUT
     re-passing warm_store: it is committed into the new store at seed
