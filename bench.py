@@ -227,7 +227,7 @@ HEADLINE = [
     "crawl_sf_emulation",
     "crawl_inlinks",
     "tpch_q1_pricing",
-    "topk_orders_per_customer",
+    "orders_region_topk",
     "docs_text_metrics",
     "docs_minhash_lsh",
     "docs_exact_dedup",

@@ -250,7 +250,9 @@ def test_ivf_multiprobe_neardup_recall(spark):
 
     p1 = pairset(dedup.embedding_neardup_ivf(emb, cents, threshold=thr, n_probe=1))
     p2 = pairset(dedup.embedding_neardup_ivf(emb, cents, threshold=thr, n_probe=2))
+    p3 = pairset(dedup.embedding_neardup_ivf(emb, cents, threshold=thr, n_probe=3))
     assert p1 <= p2, p1 - p2
+    assert p2 <= p3, p2 - p3
 
     e = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
     a = e.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"))
@@ -270,8 +272,13 @@ def test_ivf_multiprobe_neardup_recall(spark):
     )
     r1 = len(p1 & truth) / max(len(truth), 1)
     r2 = len(p2 & truth) / max(len(truth), 1)
+    r3 = len(p3 & truth) / max(len(truth), 1)
     assert r2 >= r1
     assert r2 > r1 or r1 == 1.0, (r1, r2)
+    # the REGISTERED operating point (emb_neardup_ivf, n_probe=3) must
+    # hold >= 0.9 recall vs the all-pairs truth (VERDICT r04 #6;
+    # measured 0.924 here / 0.915 at sf0.01, precision 1.0 both)
+    assert r3 >= 0.9, r3
     # no false positives possible: every emitted pair passed exact cosine
     assert p2 <= truth
 
