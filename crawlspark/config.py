@@ -69,6 +69,13 @@ class CrawlConfig:
     # adds per wave; at 10^8+ seen rows the prefilter is the win
     per_host_budget: int | None = None  # max fetches per host per wave (None = unlimited)
     hot_host_salt_threshold: int = 10_000  # rows/host above which to salt-split
+    # exact-cap politeness (VERDICT r04 #5, opt-in): distribute the
+    # budget remainder across salt slices (slice i gets b//n + (i in
+    # the rotating remainder window)) so a sub-wave's per-host take is
+    # <= budget EXACTLY even under salt-split. Default (False) keeps
+    # the r04 pacing behavior: ceil(budget/n) per slice can over-admit
+    # up to n-1 rows per hot host per sub-wave.
+    per_host_budget_exact: bool = False
     pacing_enabled: bool = False  # real sleeps in the fetch stage (off in tests)
     detailed_metrics: bool = True  # per-wave candidate counts (extra job; bench turns off)
     robots_broadcast: bool = True  # hint broadcast for the rules join; False at 10^7+ hosts

@@ -176,6 +176,12 @@ def _parse_map(check_payload: bool, blocked_counter=None):
                 hdrs = r["headers"]  # Arrow list column -> numpy array or None
                 if hdrs is None or isinstance(hdrs, float):
                     hdrs = []
+                else:
+                    # ndarray -> list for oracle._sorted_headers (it
+                    # rebuilds {"K","V"} dicts itself — no per-item
+                    # copy here; plain `or []` would hit ndarray
+                    # truthiness)
+                    hdrs = list(hdrs)
                 page = {
                     "status_code": r["status_code"],
                     "status": r["status"],
@@ -184,7 +190,7 @@ def _parse_map(check_payload: bool, blocked_counter=None):
                     "proto_minor": r["proto_minor"],
                     "content_type": r["content_type"],
                     "location": r["location"],
-                    "headers": [{"K": p["K"], "V": p["V"]} for p in hdrs],
+                    "headers": hdrs,
                     "html": r["html"],
                 }
                 res = oracle.make_result_dict(r["fetch_url"], int(r["depth"]), page)
@@ -321,14 +327,29 @@ class SparkCrawler:
             rows.append((key, cs, 0, oracle.PRIORITY_SEED, i))
         return self.spark.createDataFrame(rows, FRONTIER_SCHEMA)
 
-    def _apply_budget(self, gated: DataFrame, budget: int) -> tuple[DataFrame, DataFrame]:
+    def _apply_budget(
+        self, gated: DataFrame, budget: int, subwave: int = 0
+    ) -> tuple[DataFrame, DataFrame]:
         """Per-host politeness budget with hot-host salt-split: take
         the first `budget` rows per (host, salt) slice ordered by
-        (priority, url_key); the rest defer to a sub-wave. Slices keep
-        aggregate take <= budget per host only approximately when
-        salted — the budget is a pacing device, not a semantic cap
-        (the reference's WaitTime pacing never drops URLs either:
-        state.go:29-41), so deferred rows always complete eventually.
+        (priority, url_key); the rest defer to a sub-wave. By default
+        slices keep aggregate take <= budget per host only
+        approximately when salted (ceil(budget/n) per slice can
+        over-admit up to n-1 rows) — the budget is a pacing device,
+        not a semantic cap (the reference's WaitTime pacing never
+        drops URLs either: state.go:29-41), so deferred rows always
+        complete eventually.
+
+        ``per_host_budget_exact`` (opt-in, VERDICT r04 #5) distributes
+        the remainder instead: slice i gets ``budget//n`` plus one iff
+        i falls in a remainder-sized window, so the per-host take is
+        <= budget EXACTLY. The window ROTATES by ``rem`` per sub-wave
+        (``subwave`` parameterizes it): with a static window a slice
+        granted 0 on a base-0 host would never drain — rotation
+        guarantees every slice is periodically privileged, so the
+        deferred set still drains (property-tested under skew).
+        Rotation is a pure function of the sub-wave index, so a
+        mid-wave resume recomputes the identical take.
 
         Skew: the per-host row count comes from a ``groupBy(host)``
         map-side partial aggregate broadcast back onto the frame — NOT
@@ -365,7 +386,13 @@ class SparkCrawler:
         salted = counted.withColumn(
             "_salt", F.pmod(F.xxhash64("url_key"), n_slices).cast("int")
         )
-        slice_budget = F.greatest(F.lit(1), F.ceil(F.lit(budget) / n_slices))
+        if self.cfg.per_host_budget_exact:
+            base = F.floor(F.lit(budget) / n_slices)
+            rem = F.lit(budget) - base * n_slices
+            privileged = F.pmod(F.col("_salt") - F.lit(subwave) * rem, n_slices) < rem
+            slice_budget = base + privileged.cast("long")
+        else:
+            slice_budget = F.greatest(F.lit(1), F.ceil(F.lit(budget) / n_slices))
         ranked = salted.withColumn(
             "_rk",
             F.row_number().over(
@@ -717,7 +744,7 @@ class SparkCrawler:
         frontier_cols = ["url_key", "fetch_url", "depth", "priority", "seed_order"]
         while True:
             if budget:
-                take, remaining = self._apply_budget(remaining, budget)
+                take, remaining = self._apply_budget(remaining, budget, subwave)
             else:
                 take, remaining = remaining, None
             parsed = self._fetch_and_parse(

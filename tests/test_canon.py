@@ -123,6 +123,33 @@ def test_fast_path_matches_urljoin():
             assert fast == slow, (b, h, fast, slow)
 
 
+def test_resolver_plain_abs_fast_path_equivalence():
+    """r05: make_resolver's string-concat fast path for plain
+    path-absolute hrefs must equal the general parse+serialize path
+    byte-for-byte — on hrefs inside AND outside the plain charset
+    (outside ones must fall through, not mis-resolve)."""
+    bases = [
+        "http://h.test/a/b?q=1",
+        "https://h.test:8080/",
+        "http://bench-0001.test/3.1",
+    ]
+    hrefs = [
+        "/", "/x", "/3.0", "/a/b/c", "/x_y-z~", "/p!$&'()*+,;=:@q",
+        # outside the plain charset -> general path
+        "/x?a=1", "/x#sec", "/%20esc", "/q?", "/with space", "/<lt>",
+        # dot segments -> slow path
+        "/./x", "/a/../b",
+        # not path-absolute at all
+        "rel/x", "//other.test/p", "http://abs.test/p", "",
+    ]
+    for b in bases:
+        resolve = canon.make_resolver(b)
+        for h in hrefs:
+            got = resolve(h)
+            want = canon.resolve_address(b, h)
+            assert got == want, (b, h, got, want)
+
+
 def test_resolve_trailing_question_mark_go_parity():
     # Go url.Parse("/x?") sets ForceQuery -> String() keeps the "?";
     # python's urljoin drops it. The fast path matches Go.

@@ -235,6 +235,81 @@ def test_budget_defer_preserves_sets(spark, tmp_path):
     assert metrics[2]["subwaves"] >= 2
 
 
+def test_budget_exact_cap_under_skew(spark, tmp_path):
+    """Opt-in exact-cap politeness (VERDICT r04 #5): with
+    per_host_budget_exact the per-host take of every sub-wave is
+    <= budget EXACTLY even when the hot-host salt-split is active
+    (default ceil mode over-admits up to n_slices-1 — asserted here
+    as the discriminator), the blocked rows still ride sub-wave 0
+    budget-free, and the rotating remainder window drains the
+    deferred set. Plus e2e: an exact-mode crawl still matches the
+    sequential oracle (defer-never-drop unchanged)."""
+    from pyspark.sql import functions as F
+
+    B, THRESH = 7, 20
+    cfg = CrawlConfig(From=["http://h0.test/"], MaxDepth=0,
+                      per_host_budget=B, per_host_budget_exact=True,
+                      hot_host_salt_threshold=THRESH)
+    crawler = SparkCrawler(
+        spark, cfg,
+        testkit.pages_to_spark(spark, testkit.nice_site()[0]),
+        testkit.robots_to_spark(spark, testkit.nice_site()[1]),
+        workdir=str(tmp_path / "exactcap"),
+    )
+    # hot host: 200 rows -> 10 salt slices; base = 7//10 = 0, so only
+    # the rotating remainder window admits rows. cold host: 15 rows
+    # (unsalted). 5 robots-blocked rows must all ride sub-wave 0.
+    schema = "url_key string, host string, priority int, _allowed boolean"
+    rows = (
+        [(f"http://hot.test/{i:04d}", "hot.test", 2, True) for i in range(200)]
+        + [(f"http://cold.test/{i:02d}", "cold.test", 2, True) for i in range(15)]
+        + [(f"http://hot.test/blocked{i}", "hot.test", 2, False) for i in range(5)]
+    )
+    gated = spark.createDataFrame(rows, schema)
+    remaining, subwave, taken = gated, 0, 0
+    while True:
+        take, defer = crawler._apply_budget(remaining, B, subwave)
+        per_host = {
+            r["host"]: r["n"]
+            for r in take.filter("_allowed").groupBy("host").agg(
+                F.count("*").alias("n")).collect()
+        }
+        for h, n in per_host.items():
+            assert n <= B, (subwave, h, n)
+        if subwave == 0:
+            assert take.filter("NOT _allowed").count() == 5  # budget-free
+        taken += sum(per_host.values())
+        # re-materialize the deferred slice (the engine stages it to
+        # parquet each sub-wave; collect/recreate is the test-scale
+        # equivalent and keeps the plan from growing per round)
+        defer_rows = defer.select("url_key", "host", "priority", "_allowed").collect()
+        if not defer_rows:
+            break
+        remaining = spark.createDataFrame(defer_rows, schema)
+        subwave += 1
+        assert subwave < 100, "exact-cap budget failed to drain"
+    assert taken == 215  # defer never drops
+    # discriminator: the default ceil mode over-admits on the hot host
+    crawler.cfg.per_host_budget_exact = False
+    take0, _ = crawler._apply_budget(gated, B, 0)
+    hot_take = take0.filter("_allowed AND host = 'hot.test'").count()
+    assert hot_take > B  # ceil(7/20)=1 per slice x 20 slices
+
+    # e2e: exact mode still reproduces the oracle's output exactly
+    pages_pdf, robots_pdf, seeds = testkit.nice_site(branching=4, max_id_len=3)
+    cfg2 = CrawlConfig(From=seeds, MaxDepth=2, RespectNofollow=True,
+                       per_host_budget=3, per_host_budget_exact=True,
+                       hot_host_salt_threshold=5)
+    c2 = SparkCrawler(
+        spark, cfg2,
+        testkit.pages_to_spark(spark, pages_pdf),
+        testkit.robots_to_spark(spark, robots_pdf),
+        workdir=str(tmp_path / "exactcap-e2e"),
+    )
+    c2.run()
+    _assert_match(c2, _oracle_run(cfg2, pages_pdf, robots_pdf))
+
+
 def test_duplicate_pages_rows_emit_one_blocked_result(spark, tmp_path):
     """Single-pass mode LEFT-joins blocked frontier rows against the
     pages corpus with `_allowed` as a join residual, so a duplicate
@@ -718,11 +793,11 @@ def test_warm_recrawl_midwave_resume(spark, tmp_path):
     orig = part._apply_budget
     calls = {"n": 0}
 
-    def boom(remaining, budget):
+    def boom(remaining, budget, *a):
         calls["n"] += 1
         if calls["n"] >= 3:
             raise Interrupted()
-        return orig(remaining, budget)
+        return orig(remaining, budget, *a)
 
     part._apply_budget = boom
     with pytest.raises(Interrupted):

@@ -209,6 +209,108 @@ def test_fast_parser_differential_hypothesis():
     prop()
 
 
+def _gen_corpus():
+    """The same edge corpus + randomized structured docs the tree
+    differential uses, plus extraction-shaped edges (first-match
+    metas, nested anchors, implied body, link rel variants)."""
+    import random
+
+    corpus = [
+        "",
+        "plain text only",
+        "<html><head><title>T</title><meta name=description content='D'>"
+        "<meta name=description content='D2'><meta name=robots content='noindex'>"
+        "<link rel=canonical href='/c'><link rel=canonical href='/c2'>"
+        "<link rel=alternate href='/fr' hreflang=fr>"
+        "<link rel=alternate href='' hreflang=de></head>"
+        "<body><h1>H</h1><a href='/x' rel=nofollow>anchor <b>bold</b></a>"
+        "<a>no href</a><a href='/y'/>selfclose</body></html>",
+        "no body tags <title>t</title> just text",
+        "<head><title>inhead</title></head>outside text",  # implied body
+        "<a href='/o'>outer <a href='/i'>inner</a> tail</a>",  # nested a
+        "<body>b1</body><body>b2</body>",  # first body wins
+        "<title>t1</title><title>t2</title><h1>h1a</h1><h1>h1b</h1>",
+        "<a href='/x'>pre <script>var a = 'txt';</script> post</a>",
+        "<b><a href=/x>cross</b>closed-past</a>more",  # repair pops anchor
+        "<meta name content='valueless-name'>",
+        "<link rel href='/r'>",  # value-less rel
+        "<a href='' rel='nofollow '>trailing-space-rel</a>",
+        "<body>start<p>deep<a href=/d>in p</a></p>end</body>",
+        "<head>ht</head><head>h2</head>text",  # first head; implied body
+        "<a href='#f'>frag</a><a href='?q=1'>query</a>",
+        "<A HREF='/UP' REL=NOFOLLOW>case</A>",
+        "<body>x<br/>y<img src=/i>z</body>",
+        "<a href='/amp&amp;'>ent &lt;anchor&gt;</a>",
+    ]
+    rng = random.Random(7)
+    tags = ["div", "p", "a", "span", "body", "head", "title", "h1",
+            "meta", "link", "script", "br"]
+    texts = ["x", "a & b", "4 < 5", "&amp;", " ", "tail&gt;"]
+    attrs = ["", " href=/r", " rel=nofollow", " rel=canonical",
+             " rel=alternate hreflang=en", " name=description content='d'",
+             " name=robots content=none", " id='i'", " disabled"]
+
+    def gen(depth):
+        if depth <= 0 or rng.random() < 0.3:
+            return rng.choice(texts)
+        t = rng.choice(tags)
+        a = rng.choice(attrs)
+        if t in ("meta", "link", "br"):
+            return f"<{t}{a}>"
+        inner = "".join(gen(depth - 1) for _ in range(rng.randint(0, 3)))
+        if t == "script":
+            inner = "var a = b < c && d;"
+        close = "" if rng.random() < 0.1 else f"</{t}>"
+        return f"<{t}{a}>{inner}{close}"
+
+    corpus += ["".join(gen(4) for _ in range(rng.randint(1, 5))) for _ in range(300)]
+    return corpus
+
+
+def test_fast_extract_differential():
+    """The fused single-pass extractor must produce the IDENTICAL
+    extraction dict the tree path produces, or fall back — never
+    silently diverge (r05; same contract as the tree differential
+    above). The tree path itself is the reference-semantics oracle."""
+    corpus = _gen_corpus()
+    n_fast = 0
+    for doc in corpus:
+        tree = htmlex._extract_from_tree(htmlex.parse_tree_slow(doc))
+        try:
+            fast = htmlex._fast_extract(doc)
+        except htmlex._Fallback:
+            continue  # public extract_html falls back to the tree path
+        n_fast += 1
+        assert fast == tree, doc
+        assert htmlex.extract_html(doc) == tree, doc
+    assert n_fast >= len(corpus) * 0.8, n_fast
+
+
+def test_fast_extract_differential_hypothesis():
+    """Property: for ANY string, the fused extractor either falls
+    back or equals the tree extraction exactly."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    soup = st.text(
+        alphabet=st.sampled_from(
+            list("<>&\"'=/ abc!-;#?xA1\n\ttitle head body meta link rel=nofw")
+        ),
+        max_size=80,
+    )
+
+    @settings(max_examples=400, deadline=None)
+    @given(soup)
+    def prop(doc):
+        try:
+            fast = htmlex._fast_extract(doc)
+        except htmlex._Fallback:
+            return
+        assert fast == htmlex._extract_from_tree(htmlex.parse_tree_slow(doc)), repr(doc)
+
+    prop()
+
+
 def test_extract_first_match_semantics():
     ex = htmlex.extract_html(SIMPLE)
     # Query = QueryAll[0] (scrape.go:26-33)
