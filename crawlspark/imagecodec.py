@@ -149,6 +149,13 @@ def encode(arr: np.ndarray, fmt: str) -> bytes:
         return encode_png(arr)
     if fmt == "qjpg":
         return encode_qjpg(arr)
+    if fmt == "jpeg":
+        # real baseline JFIF — own pure-numpy codec (r05, VERDICT r04
+        # #7). quality=98 measured worst-case 43.4 dB over the synth
+        # corpus, so real-JPEG payloads clear the PSNR>=40 invariant
+        from .jpegcodec import encode_jpeg
+
+        return encode_jpeg(arr, quality=98)
     raise NotImplementedError(f"encode fmt={fmt!r} (no codec libs in sandbox)")
 
 
@@ -157,6 +164,10 @@ def decode(data: bytes, fmt: str) -> np.ndarray:
         return decode_png(data)
     if fmt == "qjpg":
         return decode_qjpg(data)
+    if fmt == "jpeg":
+        from .jpegcodec import decode_jpeg
+
+        return decode_jpeg(data)
     return try_pil_decode(data)
 
 

@@ -1,0 +1,458 @@
+"""Baseline JFIF (real JPEG) encoder/decoder in pure numpy.
+
+VERDICT r04 #7: the image operators previously accepted only the
+deterministic ``qjpg`` stand-in because the sandbox has no
+libjpeg/PIL. This module closes that gap on the own-codec pattern
+(like videocodec's QVID): it produces and reads REAL baseline JPEG —
+SOI/APP0(JFIF)/DQT/SOF0/DHT/SOS/EOI marker structure, ITU-T T.81
+Annex K quantization + Huffman tables, zigzag run-length entropy
+coding with byte stuffing, 8x8 DCT-II, JFIF YCbCr — restricted to
+the baseline subset this encoder emits (8-bit, 3 components, 4:4:4,
+no restart markers, no progressive). Any standards-conforming JPEG
+decoder can read these files; this decoder conversely reads any
+baseline 4:4:4 JPEG that sticks to one DQT/DHT id per component
+class.
+
+Determinism: pure float64 numpy + round-half-even everywhere, no
+platform-dependent libraries — the same property that makes the
+qjpg/png committed-ground-truth oracle pattern exact applies here.
+
+Reference parity note: the reference crawler never decodes images
+(it stores bytes); the codec exists for the training-data pipeline
+operators (ops/multimodal.py decode/features/resize), per the brief's
+multimodal-columns requirement.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+__all__ = ["encode_jpeg", "decode_jpeg"]
+
+# ---------------------------------------------------------------------------
+# ITU-T T.81 Annex K tables
+
+_QUANT_LUMA = np.array([
+    [16, 11, 10, 16, 24, 40, 51, 61],
+    [12, 12, 14, 19, 26, 58, 60, 55],
+    [14, 13, 16, 24, 40, 57, 69, 56],
+    [14, 17, 22, 29, 51, 87, 80, 62],
+    [18, 22, 37, 56, 68, 109, 103, 77],
+    [24, 35, 55, 64, 81, 104, 113, 92],
+    [49, 64, 78, 87, 103, 121, 120, 101],
+    [72, 92, 95, 98, 112, 100, 103, 99],
+], dtype=np.float64)
+
+_QUANT_CHROMA = np.array([
+    [17, 18, 24, 47, 99, 99, 99, 99],
+    [18, 21, 26, 66, 99, 99, 99, 99],
+    [24, 26, 56, 99, 99, 99, 99, 99],
+    [47, 66, 99, 99, 99, 99, 99, 99],
+    [99, 99, 99, 99, 99, 99, 99, 99],
+    [99, 99, 99, 99, 99, 99, 99, 99],
+    [99, 99, 99, 99, 99, 99, 99, 99],
+    [99, 99, 99, 99, 99, 99, 99, 99],
+], dtype=np.float64)
+
+# (bits-per-length[1..16], symbol values) — Annex K.3
+_DC_LUMA = (
+    [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_DC_CHROMA = (
+    [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_AC_LUMA = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 125],
+    [
+        0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+        0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+        0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+        0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+        0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+        0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+        0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+        0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+        0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+        0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+        0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+        0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+        0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+        0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+        0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+        0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+        0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+        0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+        0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+        0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+        0xF9, 0xFA,
+    ],
+)
+_AC_CHROMA = (
+    [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 119],
+    [
+        0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21,
+        0x31, 0x06, 0x12, 0x41, 0x51, 0x07, 0x61, 0x71,
+        0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+        0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0,
+        0x15, 0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34,
+        0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+        0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38,
+        0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48,
+        0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+        0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68,
+        0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+        0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+        0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96,
+        0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+        0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+        0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3,
+        0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2,
+        0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+        0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9,
+        0xEA, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+        0xF9, 0xFA,
+    ],
+)
+
+_ZIGZAG = np.array([
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+])
+
+# orthonormal 8-point DCT-II matrix
+_DCTM = np.zeros((8, 8))
+for _u in range(8):
+    _c = (1.0 / np.sqrt(2.0)) if _u == 0 else 1.0
+    for _x in range(8):
+        _DCTM[_u, _x] = 0.5 * _c * np.cos((2 * _x + 1) * _u * np.pi / 16.0)
+
+
+def _canonical_codes(bits, values):
+    """(length, code) assignment per T.81 Annex C — shared by encoder
+    and decoder, so the tables cannot drift apart."""
+    codes = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            codes[values[k]] = (length, code)
+            code += 1
+            k += 1
+        code <<= 1
+    return codes
+
+
+def _scaled_quant(base: np.ndarray, quality: int) -> np.ndarray:
+    """IJG quality scaling: 50 = Annex K as-is, 100 = all-ones."""
+    q = min(max(int(quality), 1), 100)
+    scale = 5000 // q if q < 50 else 200 - 2 * q
+    t = np.floor((base * scale + 50) / 100)
+    return np.clip(t, 1, 255)
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, value: int, length: int):
+        self.acc = (self.acc << length) | (value & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            self.nbits -= 8
+            b = (self.acc >> self.nbits) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:
+                self.out.append(0x00)  # byte stuffing
+
+    def flush(self):
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)  # 1-fill per spec
+
+
+def _magnitude(v: int) -> tuple[int, int]:
+    """(size category, amplitude bits) per T.81 F.1.2.1."""
+    if v == 0:
+        return 0, 0
+    a = abs(v)
+    size = a.bit_length()
+    bits = v if v > 0 else v + (1 << size) - 1
+    return size, bits
+
+
+def _rgb_to_ycbcr(arr: np.ndarray) -> np.ndarray:
+    f = arr.astype(np.float64)
+    r, g, b = f[..., 0], f[..., 1], f[..., 2]
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+    cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+    return np.stack([y, cb, cr], axis=2)
+
+
+def _ycbcr_to_rgb(ycc: np.ndarray) -> np.ndarray:
+    y, cb, cr = ycc[..., 0], ycc[..., 1] - 128.0, ycc[..., 2] - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    return np.clip(np.rint(np.stack([r, g, b], axis=2)), 0, 255).astype(np.uint8)
+
+
+def _seg(marker: int, payload: bytes) -> bytes:
+    return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+
+def _dht_payload(tc_th: int, table) -> bytes:
+    bits, values = table
+    return bytes([tc_th]) + bytes(bits) + bytes(values)
+
+
+def encode_jpeg(arr: np.ndarray, quality: int = 90) -> bytes:
+    """8-bit RGB HxWx3 -> baseline JFIF bytes (4:4:4, Annex K
+    Huffman tables, quality-scaled Annex K quant tables)."""
+    h, w, c = arr.shape
+    assert c == 3 and arr.dtype == np.uint8
+    qy = _scaled_quant(_QUANT_LUMA, quality)
+    qc = _scaled_quant(_QUANT_CHROMA, quality)
+
+    ycc = _rgb_to_ycbcr(arr)
+    ph, pw = (h + 7) // 8 * 8, (w + 7) // 8 * 8
+    padded = np.empty((ph, pw, 3))
+    padded[:h, :w] = ycc
+    padded[h:, :w] = ycc[h - 1 : h, :]  # edge replicate
+    padded[:, w:] = padded[:, w - 1 : w]
+
+    enc_dc = (_canonical_codes(*_DC_LUMA), _canonical_codes(*_DC_CHROMA))
+    enc_ac = (_canonical_codes(*_AC_LUMA), _canonical_codes(*_AC_CHROMA))
+    quants = (qy, qc, qc)
+    tbl_of_comp = (0, 1, 1)
+
+    bw = _BitWriter()
+    prev_dc = [0, 0, 0]
+    for by in range(0, ph, 8):
+        for bx in range(0, pw, 8):
+            for comp in range(3):
+                block = padded[by : by + 8, bx : bx + 8, comp] - 128.0
+                coef = _DCTM @ block @ _DCTM.T
+                q = np.rint(coef / quants[tbl_of_comp[comp]]).astype(np.int64)
+                zz = q.flatten()[_ZIGZAG]
+                t = tbl_of_comp[comp]
+                # DC
+                diff = int(zz[0]) - prev_dc[comp]
+                prev_dc[comp] = int(zz[0])
+                size, bits = _magnitude(diff)
+                length, code = enc_dc[t][size]
+                bw.write(code, length)
+                if size:
+                    bw.write(bits, size)
+                # AC
+                run = 0
+                for k in range(1, 64):
+                    v = int(zz[k])
+                    if v == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        length, code = enc_ac[t][0xF0]  # ZRL
+                        bw.write(code, length)
+                        run -= 16
+                    size, bits = _magnitude(v)
+                    length, code = enc_ac[t][(run << 4) | size]
+                    bw.write(code, length)
+                    bw.write(bits, size)
+                    run = 0
+                if run:
+                    length, code = enc_ac[t][0x00]  # EOB
+                    bw.write(code, length)
+    bw.flush()
+
+    out = bytearray()
+    out += b"\xff\xd8"  # SOI
+    out += _seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += _seg(0xFFDB, bytes([0]) + bytes(qy.astype(np.uint8).flatten()[_ZIGZAG]))
+    out += _seg(0xFFDB, bytes([1]) + bytes(qc.astype(np.uint8).flatten()[_ZIGZAG]))
+    sof = struct.pack(">BHHB", 8, h, w, 3)
+    for cid, samp, tq in ((1, 0x11, 0), (2, 0x11, 1), (3, 0x11, 1)):
+        sof += bytes([cid, samp, tq])
+    out += _seg(0xFFC0, sof)
+    out += _seg(0xFFC4, _dht_payload(0x00, _DC_LUMA))
+    out += _seg(0xFFC4, _dht_payload(0x10, _AC_LUMA))
+    out += _seg(0xFFC4, _dht_payload(0x01, _DC_CHROMA))
+    out += _seg(0xFFC4, _dht_payload(0x11, _AC_CHROMA))
+    sos = bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0])
+    out += _seg(0xFFDA, sos)
+    out += bw.out
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+class _BitReader:
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.acc = 0
+        self.nbits = 0
+
+    def read_bit(self) -> int:
+        if self.nbits == 0:
+            if self.pos >= len(self.data):
+                raise ValueError("jpeg: entropy data exhausted")
+            b = self.data[self.pos]
+            self.pos += 1
+            if b == 0xFF:
+                # stuffed byte: 0xFF 0x00 -> literal 0xFF
+                if self.pos < len(self.data) and self.data[self.pos] == 0x00:
+                    self.pos += 1
+                else:
+                    raise ValueError("jpeg: unexpected marker in entropy data")
+            self.acc = b
+            self.nbits = 8
+        self.nbits -= 1
+        return (self.acc >> self.nbits) & 1
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+
+def _decode_tree(bits, values):
+    """(length, code) -> symbol map for decoding."""
+    out = {}
+    for sym, (length, code) in _canonical_codes(bits, values).items():
+        out[(length, code)] = sym
+    return out
+
+
+def _read_symbol(br: _BitReader, tree: dict) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | br.read_bit()
+        sym = tree.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("jpeg: bad Huffman code")
+
+
+def _extend(bits: int, size: int) -> int:
+    if size == 0:
+        return 0
+    if bits < (1 << (size - 1)):
+        return bits - (1 << size) + 1
+    return bits
+
+
+def decode_jpeg(data: bytes) -> np.ndarray:
+    """Baseline JFIF bytes -> 8-bit RGB HxWx3. Supports the subset
+    encode_jpeg emits: baseline sequential, 8-bit, 3 components,
+    4:4:4, no restart intervals."""
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (missing SOI)")
+    pos = 2
+    quant: dict[int, np.ndarray] = {}
+    huff_dc: dict[int, dict] = {}
+    huff_ac: dict[int, dict] = {}
+    h = w = None
+    comps: list[tuple[int, int]] = []  # (component id, quant table id)
+    scan_tables: list[tuple[int, int]] = []  # (dc table, ac table) per comp
+    entropy_start = None
+    while pos < len(data):
+        if data[pos] != 0xFF:
+            raise ValueError("jpeg: marker expected")
+        if pos + 4 > len(data):
+            raise ValueError("jpeg: truncated stream")
+        marker = data[pos + 1]
+        if marker == 0xD9:  # EOI
+            break
+        (seglen,) = struct.unpack(">H", data[pos + 2 : pos + 4])
+        payload = data[pos + 4 : pos + 2 + seglen]
+        if marker == 0xDB:  # DQT
+            p = 0
+            while p < len(payload):
+                pq_tq = payload[p]
+                if pq_tq >> 4 != 0:
+                    raise NotImplementedError("16-bit quant tables unsupported")
+                tbl = np.zeros(64)
+                tbl[_ZIGZAG] = np.frombuffer(payload[p + 1 : p + 65], dtype=np.uint8)
+                quant[pq_tq & 0x0F] = tbl.reshape(8, 8)
+                p += 65
+        elif marker == 0xC0:  # SOF0 baseline
+            prec, h, w, nc = struct.unpack(">BHHB", payload[:6])
+            if prec != 8 or nc != 3:
+                raise NotImplementedError("only 8-bit 3-component baseline")
+            for i in range(nc):
+                cid, samp, tq = payload[6 + 3 * i : 9 + 3 * i]
+                if samp != 0x11:
+                    raise NotImplementedError("only 4:4:4 sampling")
+                comps.append((cid, tq))
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                        0xCD, 0xCE, 0xCF):
+            raise NotImplementedError("non-baseline JPEG unsupported")
+        elif marker == 0xC4:  # DHT
+            p = 0
+            while p < len(payload):
+                tc_th = payload[p]
+                bits = list(payload[p + 1 : p + 17])
+                n = sum(bits)
+                values = list(payload[p + 17 : p + 17 + n])
+                tree = _decode_tree(bits, values)
+                if tc_th >> 4 == 0:
+                    huff_dc[tc_th & 0x0F] = tree
+                else:
+                    huff_ac[tc_th & 0x0F] = tree
+                p += 17 + n
+        elif marker == 0xDD:  # DRI
+            raise NotImplementedError("restart intervals unsupported")
+        elif marker == 0xDA:  # SOS
+            ns = payload[0]
+            for i in range(ns):
+                _cid, tables = payload[1 + 2 * i], payload[2 + 2 * i]
+                scan_tables.append((tables >> 4, tables & 0x0F))
+            entropy_start = pos + 2 + seglen
+            break
+        pos += 2 + seglen
+    if entropy_start is None or h is None:
+        raise ValueError("jpeg: missing SOS/SOF0")
+    # entropy segment runs to EOI (no RST markers in our subset)
+    end = data.rfind(b"\xff\xd9")
+    br = _BitReader(data[entropy_start : end if end > 0 else len(data)])
+
+    ph, pw = (h + 7) // 8 * 8, (w + 7) // 8 * 8
+    planes = np.zeros((ph, pw, 3))
+    prev_dc = [0, 0, 0]
+    for by in range(0, ph, 8):
+        for bx in range(0, pw, 8):
+            for ci, (_cid, tq) in enumerate(comps):
+                dct_t, act_t = scan_tables[ci]
+                zz = np.zeros(64, dtype=np.int64)
+                size = _read_symbol(br, huff_dc[dct_t])
+                diff = _extend(br.read_bits(size), size) if size else 0
+                prev_dc[ci] += diff
+                zz[0] = prev_dc[ci]
+                k = 1
+                while k < 64:
+                    rs = _read_symbol(br, huff_ac[act_t])
+                    run, size = rs >> 4, rs & 0x0F
+                    if size == 0:
+                        if run == 15:  # ZRL
+                            k += 16
+                            continue
+                        break  # EOB
+                    k += run
+                    if k > 63:
+                        raise ValueError("jpeg: AC index out of range")
+                    zz[k] = _extend(br.read_bits(size), size)
+                    k += 1
+                coef = np.zeros(64)
+                coef[_ZIGZAG] = zz
+                block = _DCTM.T @ (coef.reshape(8, 8) * quant[tq]) @ _DCTM
+                planes[by : by + 8, bx : bx + 8, ci] = block + 128.0
+    return _ycbcr_to_rgb(planes[:h, :w])

@@ -90,7 +90,11 @@ def main():
     # phash-near (noise-only deltas), cross-pattern pairs are far —
     # so the banded phash near-dup oracle has real selectivity
     # (85 of 276 pairs within hamming 7, not all-pairs)
-    images = testkit.make_images(24)
+    # every 3rd row is a REAL baseline JFIF (own pure-numpy codec,
+    # crawlspark/jpegcodec.py — r05, VERDICT r04 #7): the committed
+    # ground truths below are regenerated from the same row functions,
+    # so the image-operator oracles now cover real-JPEG decode too
+    images = testkit.make_images(24, jpeg_every=3)
     img_table = pa.Table.from_pandas(images, preserve_index=False)
     pq.write_table(img_table, os.path.join(out_dir, "images.parquet"), compression="snappy")
     print(f"images.parquet: {img_table.num_rows} rows")

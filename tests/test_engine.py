@@ -915,13 +915,13 @@ def test_midwave_resume(spark, tmp_path):
     orig = part._apply_budget
     calls = {"n": 0}
 
-    def boom(remaining, budget):
+    def boom(remaining, budget, *a):
         calls["n"] += 1
         # wave2 (4 urls, budget 3) checkpoints part0 after its first
         # subwave; the 4th call is wave2's second subwave -> interrupt
         if calls["n"] >= 4:
             raise Interrupted()
-        return orig(remaining, budget)
+        return orig(remaining, budget, *a)
 
     part._apply_budget = boom
     with pytest.raises(Interrupted):
@@ -1035,6 +1035,37 @@ def test_budgeted_wave_plan_single_pass(spark, tmp_path):
     # all seeds blocked -> all ride sub-wave 0, none deferred
     assert defer2.count() == 0
     assert take2.count() == len(seeds)
+
+
+def test_robots_local_gate_equals_join_gate(spark, tmp_path):
+    """r05 collected-robots gate: the broadcast-dict path (default for
+    small robots tables) must produce the identical crawl — rows,
+    blocked statuses, seen-set — as the rules-join path
+    (robots_local_threshold=0), which remains the 10^7-host scale
+    path. matrix_site includes robots-blocked URLs, so the gate
+    semantics (fetch_url evaluation, left-join-miss = allow-all
+    fallback) are actually exercised."""
+    pages_pdf, robots_pdf, seeds = testkit.matrix_site()
+    outs = {}
+    for name, th in (("local", 50_000), ("join", 0)):
+        cfg = CrawlConfig(From=seeds, MaxDepth=2, RespectNofollow=False,
+                          robots_local_threshold=th)
+        c = SparkCrawler(
+            spark, cfg,
+            testkit.pages_to_spark(spark, pages_pdf),
+            testkit.robots_to_spark(spark, robots_pdf),
+            workdir=str(tmp_path / f"gate-{name}"),
+        )
+        assert (c._robots_bc is not None) == (name == "local")
+        c.run()
+        outs[name] = (
+            sorted(tuple(r) for r in c.results()
+                   .select("Depth", "Priority", "UrlKey", "Status").collect()),
+            sorted(r["url_key"] for r in c.seen().collect()),
+        )
+    assert outs["local"] == outs["join"]
+    # blocked rows exist in the fixture — the gate did real work
+    assert any("Blocked" in t[3] for t in outs["local"][0])
 
 
 def test_bucketed_pages_fetch_join(spark, tmp_path):

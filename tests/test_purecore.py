@@ -487,8 +487,73 @@ def test_phash_deterministic_and_discriminative():
 
 
 def test_pil_formats_are_stubbed():
+    # jpeg is REAL since r05 (own codec) — webp remains the documented
+    # sandbox stub; truncated jpeg bytes now fail loudly as ValueError
     with pytest.raises(NotImplementedError):
+        imagecodec.decode(b"RIFF....WEBP", "webp")
+    with pytest.raises(ValueError):
         imagecodec.decode(b"\xff\xd8\xff", "jpeg")
+
+
+def test_jpeg_roundtrip_fidelity_and_structure():
+    """Real baseline JFIF codec (crawlspark/jpegcodec.py, r05):
+    marker structure, deterministic bytes, round-trip fidelity on the
+    synth corpus (q98 clears the PSNR>=40 payload invariant), exact
+    DC-only round trip on flat images, non-multiple-of-8 dims."""
+    import numpy as np
+
+    from crawlspark import imagecodec
+    from crawlspark.jpegcodec import decode_jpeg, encode_jpeg
+
+    for i in (1, 5, 9, 13):
+        arr = imagecodec.synth_image(f"img-{i:04d}", 24, 16)
+        b = imagecodec.encode(arr, "jpeg")
+        # structural: SOI ... EOI, JFIF APP0, SOF0 baseline, 4 DHTs
+        assert b[:2] == b"\xff\xd8" and b[-2:] == b"\xff\xd9"
+        assert b[2:4] == b"\xff\xe0" and b[6:11] == b"JFIF\x00"
+        assert b"\xff\xc0" in b and b.count(b"\xff\xc4") >= 4
+        assert imagecodec.encode(arr, "jpeg") == b  # deterministic
+        dec = imagecodec.decode(b, "jpeg")
+        assert dec.shape == arr.shape
+        assert imagecodec.psnr(arr, dec) >= 40.0  # payload invariant
+    # flat image: single DC coefficient path, exact
+    flat = np.full((16, 16, 3), 127, np.uint8)
+    assert (decode_jpeg(encode_jpeg(flat, 90)) == flat).all()
+    # odd dims: pad + crop
+    odd = imagecodec.synth_image("odd", 17, 9)
+    assert decode_jpeg(encode_jpeg(odd, 98)).shape == odd.shape
+    # corrupt input fails loudly
+    import pytest
+
+    with pytest.raises(ValueError):
+        decode_jpeg(b"\x00\x01not a jpeg")
+
+
+def test_jpeg_roundtrip_hypothesis():
+    """Property: any random RGB image round-trips through the real
+    JPEG codec with the right shape and bounded error (q98 worst-case
+    well above 30 dB even on pure noise, the hardest input)."""
+    import hypothesis.strategies as st
+    import numpy as np
+    from hypothesis import given, settings
+
+    from crawlspark import imagecodec
+    from crawlspark.jpegcodec import decode_jpeg, encode_jpeg
+
+    @settings(max_examples=20, deadline=None)
+    @given(
+        st.integers(min_value=1, max_value=24),
+        st.integers(min_value=1, max_value=24),
+        st.integers(min_value=0, max_value=2**32 - 1),
+    )
+    def check(w, h, seed):
+        rng = np.random.RandomState(seed)
+        arr = rng.randint(0, 256, size=(h, w, 3)).astype(np.uint8)
+        dec = decode_jpeg(encode_jpeg(arr, 98))
+        assert dec.shape == arr.shape
+        assert imagecodec.psnr(arr, dec) >= 30.0
+
+    check()
 
 
 def test_qvid_property_roundtrip():
