@@ -85,10 +85,28 @@ def _run_crawl(
         pages_df = pages_to_spark(spark, pages_pdf)
         robots_df = robots_to_spark(spark, robots_pdf)
     auto_workdir = workdir is None
-    wd = workdir or scratch.crawl_workdir()
+    if auto_workdir:
+        # NOT scratch.crawl_workdir(): that prints "kept on exit" —
+        # wrong here, because the success path below deletes the dir
+        # (code-review r05). The path is announced only on failure,
+        # when there IS a checkpoint worth resuming.
+        import tempfile
+
+        wd = tempfile.mkdtemp(prefix="crawlspark-run-")
+    else:
+        wd = workdir
     crawler = SparkCrawler(spark, cfg, pages_df, robots_df, workdir=wd, warm_store=warm)
-    crawler.run()
-    n = _emit_ndjson(crawler)
+    try:
+        crawler.run()
+        n = _emit_ndjson(crawler)
+    except BaseException:
+        if auto_workdir:
+            print(
+                f"crawlspark: workdir {wd} kept (interrupted/failed run; "
+                "resume with --workdir)",
+                file=sys.stderr,
+            )
+        raise
     if auto_workdir:
         # successful run, auto-created store: nothing to resume, so the
         # snapshot dir would just leak in /tmp (ADVICE r04; mirrors

@@ -85,8 +85,11 @@ class CrawlConfig:
     # closure lookup inside the one gate UDF (r05, VERDICT r04 #4 —
     # ~0.2-0.3 s/wave of fixed broadcast-job cost on small-wave
     # crawls). 0 disables; large robots tables keep the join, which
-    # is the 10^7-host scale path.
+    # is the 10^7-host scale path. Both bounds must pass: row count
+    # AND total robots-body bytes (code-review r05 — 50k rows of
+    # 500KB bodies would be a 20GB+ driver collect).
     robots_local_threshold: int = 50_000
+    robots_local_max_bytes: int = 64 * 1024 * 1024
     # (AQE still picks broadcast when the rules table is small enough)
     parse_partitions: int | None = None  # row-parallelism CAP of the parse
     # stage; None -> shuffle_partitions. CPU-bound Python stages balance

@@ -341,21 +341,35 @@ class SparkCrawler:
             F.col("status_code").alias("robots_status"),
             F.col("body").alias("robots_body"),
         )
-        # collected-robots gate (r05): bounded probe, then one collect
-        # + SparkContext broadcast. The dict values are the SAME
-        # (status, body) tuples the join-path UDF keys its Matcher
-        # cache on; a missing host behaves like a left-join miss.
+        # collected-robots gate (r05): ONE bounded collect decides and
+        # supplies the rows (code-review r05: the row-count probe +
+        # full collect was two scheduled jobs per construction). The
+        # dict values are the SAME (status, body) tuples the join-path
+        # UDF keys its Matcher cache on; a missing host behaves like a
+        # left-join miss. Guards (code-review r05): total body BYTES
+        # bounded too (50k rows of 500KB robots.txt would be a 20GB+
+        # driver collect the streaming join handles fine), and
+        # duplicate (scheme, host) rows fall back to the join — a dict
+        # would silently keep the last row where the join fans frontier
+        # rows out per matching rule row, so the two paths would not be
+        # output-equal on that (malformed) input.
         self._robots_bc = None
         th = cfg.robots_local_threshold
-        if th and self.robots.limit(th + 1).count() <= th:
-            table = {
-                (r["r_scheme"], r["r_host"]): (
-                    int(r["robots_status"]) if r["robots_status"] is not None else None,
-                    r["robots_body"] if isinstance(r["robots_body"], str) else None,
-                )
-                for r in self.robots.collect()
-            }
-            self._robots_bc = spark.sparkContext.broadcast(table)
+        if th:
+            rows = self.robots.limit(th + 1).collect()
+            body_bytes = sum(
+                len(r["robots_body"]) for r in rows if isinstance(r["robots_body"], str)
+            )
+            if len(rows) <= th and body_bytes <= cfg.robots_local_max_bytes:
+                table = {
+                    (r["r_scheme"], r["r_host"]): (
+                        int(r["robots_status"]) if r["robots_status"] is not None else None,
+                        r["robots_body"] if isinstance(r["robots_body"], str) else None,
+                    )
+                    for r in rows
+                }
+                if len(table) == len(rows):  # no dup (scheme, host)
+                    self._robots_bc = spark.sparkContext.broadcast(table)
 
     # ------------------------------------------------------------------
 

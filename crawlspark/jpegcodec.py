@@ -171,6 +171,11 @@ class _BitWriter:
             self.out.append(b)
             if b == 0xFF:
                 self.out.append(0x00)  # byte stuffing
+        # only the low nbits are ever read — truncate so acc stays a
+        # machine int instead of an ever-growing bigint whose every
+        # shift copies the full bit history (code-review r05:
+        # O(n^2) encode on large images otherwise)
+        self.acc &= (1 << self.nbits) - 1
 
     def flush(self):
         if self.nbits:
@@ -367,6 +372,9 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     while pos < len(data):
         if data[pos] != 0xFF:
             raise ValueError("jpeg: marker expected")
+        # optional 0xFF fill bytes before a marker (T.81 B.1.1.2)
+        while pos + 1 < len(data) and data[pos + 1] == 0xFF:
+            pos += 1
         if pos + 4 > len(data):
             raise ValueError("jpeg: truncated stream")
         marker = data[pos + 1]

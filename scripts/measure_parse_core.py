@@ -98,8 +98,7 @@ def main():
             spark, wcfg, spark.read.parquet(wweb), benchgen.gen_robots(spark, wh),
             workdir=tempfile.mkdtemp(prefix="crawlmeas-warm-"), check_payload=False,
         ).run()
-    acc.value  # noqa: B018 — warmup contributions read and ignored below
-    warm_core = acc.value
+    warm_core = acc.value  # warmup contributions subtracted below
 
     crawler = SparkCrawler(
         spark, cfg, pages_df, robots_df,

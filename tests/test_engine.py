@@ -1067,6 +1067,28 @@ def test_robots_local_gate_equals_join_gate(spark, tmp_path):
     # blocked rows exist in the fixture — the gate did real work
     assert any("Blocked" in t[3] for t in outs["local"][0])
 
+    # guards (code-review r05): duplicate (scheme, host) robots rows
+    # and oversized total body bytes both disable the local path (a
+    # dict keeps the last dup row where the join fans rows out — the
+    # paths would not be output-equal; giant collects OOM the driver)
+    import pandas as pd
+
+    dup = pd.concat([robots_pdf, robots_pdf.iloc[:1]], ignore_index=True)
+    c_dup = SparkCrawler(
+        spark, CrawlConfig(From=seeds, MaxDepth=0),
+        testkit.pages_to_spark(spark, pages_pdf),
+        testkit.robots_to_spark(spark, dup),
+        workdir=str(tmp_path / "gate-dup"),
+    )
+    assert c_dup._robots_bc is None
+    c_big = SparkCrawler(
+        spark, CrawlConfig(From=seeds, MaxDepth=0, robots_local_max_bytes=1),
+        testkit.pages_to_spark(spark, pages_pdf),
+        testkit.robots_to_spark(spark, robots_pdf),
+        workdir=str(tmp_path / "gate-big"),
+    )
+    assert c_big._robots_bc is None
+
 
 def test_bucketed_pages_fetch_join(spark, tmp_path):
     """Bucketed pages table: identical crawl output, and the fetch

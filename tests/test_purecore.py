@@ -527,6 +527,13 @@ def test_jpeg_roundtrip_fidelity_and_structure():
 
     with pytest.raises(ValueError):
         decode_jpeg(b"\x00\x01not a jpeg")
+    # optional 0xFF fill bytes before a marker are legal (T.81
+    # B.1.1.2) — inject one before SOF0 (code-review r05)
+    arr = imagecodec.synth_image("fill", 16, 16)
+    b = encode_jpeg(arr, 98)
+    i = b.find(b"\xff\xc0")
+    filled = b[:i] + b"\xff" + b[i:]
+    assert (decode_jpeg(filled) == decode_jpeg(b)).all()
 
 
 def test_jpeg_roundtrip_hypothesis():
