@@ -349,3 +349,45 @@ def test_dup_clusters_transitivity(spark):
     big = [v for v in by_cluster.values() if len(v) >= 3]
     assert big and {"10", "11", "12"} <= big[0]
     assert all("13" not in v for v in by_cluster.values())
+
+
+def test_cc_labels_driver_path_equals_distributed(spark):
+    """r05 bounded driver union-find: identical (doc_id, label) sets
+    as the distributed min-label loop (driver_threshold=0) on the
+    real LSH pair graph (long ids), the phash band graph (string
+    ids), a chain graph whose diameter exercises multiple propagation
+    rounds, and the empty graph."""
+    from pyspark.sql import functions as F
+
+    from crawlspark import testkit
+    from crawlspark.ops import dedup, multimodal
+
+    def both(pairs):
+        a = sorted(tuple(r) for r in dedup.cc_labels(pairs).collect())
+        b = sorted(tuple(r) for r in dedup.cc_labels(pairs, driver_threshold=0).collect())
+        return a, b
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    lsh = dedup.minhash_lsh_pairs(docs).select("doc_a", "doc_b")
+    a, b = both(lsh)
+    assert a == b and a
+
+    imgs = testkit.images_to_spark(spark, testkit.make_images(12))
+    ph = multimodal.phash_neardup(imgs, max_hamming=7).select(
+        F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b")
+    )
+    a, b = both(ph)
+    assert a == b
+
+    # diameter-15 chain: needs 15 propagation rounds (within the
+    # max_iters=20 convergence bound) and crosses the every-4-rounds
+    # lineage spill — the r05 plan-explosion regression guard
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(15)], "doc_a: long, doc_b: long"
+    )
+    a, b = both(chain)
+    assert a == b and all(lbl == 0 for _, lbl in a) and len(a) == 16
+
+    empty = spark.createDataFrame([], "doc_a: long, doc_b: long")
+    a, b = both(empty)
+    assert a == b == []
