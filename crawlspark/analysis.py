@@ -223,7 +223,9 @@ def graph_depths(crawl: DataFrame, host: str, root: str = "/", max_iters: int = 
     depths = spark.createDataFrame([(root, 0)], "node string, depth int")
     prev_frame = None
     prev = (1, 0)
-    for _ in range(max_iters):
+    from .scratch import spill_and_reread
+
+    for it in range(max_iters):
         nxt = (
             depths.join(edges, depths["node"] == edges["src"])
             .select(F.col("dst").alias("node"), (F.col("depth") + 1).alias("depth"))
@@ -242,7 +244,14 @@ def graph_depths(crawl: DataFrame, host: str, root: str = "/", max_iters: int = 
         if cur == prev:
             break
         prev = cur
-    from .scratch import spill_and_reread
+        # persist caches data, not the logical plan — deep BFS walks
+        # would OOM the JVM building the stacked plan string (same
+        # latent bug found in cc_labels, r05): spill lineage every 4
+        # rounds
+        if (it + 1) % 4 == 0:
+            depths = spill_and_reread(depths, "crawlspark-bfs-")
+            prev_frame.unpersist()
+            prev_frame = depths
 
     out = spill_and_reread(depths, "crawlspark-bfs-")
     edges.unpersist()

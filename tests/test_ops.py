@@ -330,6 +330,34 @@ def test_ivf_topk_recall_beats_random_probing(spark):
     assert len(approx & exact) / len(exact) >= 0.35
 
 
+def test_graph_depths_deep_chain(spark):
+    """r05 regression guard (same latent bug as cc_labels): a BFS
+    walk deeper than a few rounds must not stack an unbounded logical
+    plan — the loop spills lineage every 4 rounds. 18-node chain ->
+    17 propagation rounds, depths exactly 0..17."""
+    from crawlspark import analysis
+
+    rows = [
+        {
+            "Address": {"Host": "c.test", "Path": f"/{i}"},
+            "Links": (
+                [{"Address": {"Host": "c.test", "Path": f"/{i + 1}"}}]
+                if i < 17 else []
+            ),
+        }
+        for i in range(18)
+    ]
+    schema = (
+        "Address struct<Host: string, Path: string>, "
+        "Links array<struct<Address: struct<Host: string, Path: string>>>"
+    )
+    crawl = spark.createDataFrame(rows, schema)
+    out = analysis.graph_depths(crawl, host="c.test", root="/0").collect()
+    assert [(r["node"], r["depth"]) for r in out] == [
+        (f"/{i}", i) for i in range(18)
+    ]
+
+
 def test_dup_clusters_transitivity(spark):
     """a~b and b~c (but a!~c directly) must share one cluster."""
     import pandas as pd
