@@ -223,7 +223,8 @@ def graph_depths(crawl: DataFrame, host: str, root: str = "/", max_iters: int = 
     depths = spark.createDataFrame([(root, 0)], "node string, depth int")
     prev_frame = None
     prev = (1, 0)
-    from .scratch import spill_and_reread
+    prev_spill = None
+    from .scratch import release, spill_and_reread
 
     for it in range(max_iters):
         nxt = (
@@ -247,13 +248,19 @@ def graph_depths(crawl: DataFrame, host: str, root: str = "/", max_iters: int = 
         # persist caches data, not the logical plan — deep BFS walks
         # would OOM the JVM building the stacked plan string (same
         # latent bug found in cc_labels, r05): spill lineage every 4
-        # rounds
+        # rounds; each spill releases its superseded predecessor so
+        # disk stays at <=2 depth-set copies
         if (it + 1) % 4 == 0:
-            depths = spill_and_reread(depths, "crawlspark-bfs-")
+            depths, d = spill_and_reread(depths, "crawlspark-bfs-", return_dir=True)
             prev_frame.unpersist()
             prev_frame = depths
+            if prev_spill is not None:
+                release(prev_spill)
+            prev_spill = d
 
     out = spill_and_reread(depths, "crawlspark-bfs-")
     edges.unpersist()
     depths.unpersist()
+    if prev_spill is not None:
+        release(prev_spill)  # superseded by the final spill above
     return out.orderBy("depth", "node")

@@ -95,8 +95,13 @@ def _run_crawl(
         wd = tempfile.mkdtemp(prefix="crawlspark-run-")
     else:
         wd = workdir
-    crawler = SparkCrawler(spark, cfg, pages_df, robots_df, workdir=wd, warm_store=warm)
     try:
+        # construction is inside the try too: it now runs Spark jobs
+        # (the robots probe), and a failure there must not silently
+        # leak the auto-created workdir (code-review r05 second pass)
+        crawler = SparkCrawler(
+            spark, cfg, pages_df, robots_df, workdir=wd, warm_store=warm
+        )
         crawler.run()
         n = _emit_ndjson(crawler)
     except BaseException:

@@ -356,11 +356,23 @@ class SparkCrawler:
         self._robots_bc = None
         th = cfg.robots_local_threshold
         if th:
-            rows = self.robots.limit(th + 1).collect()
-            body_bytes = sum(
-                len(r["robots_body"]) for r in rows if isinstance(r["robots_body"], str)
+            # the size probe must run BEFORE any row collect (code-
+            # review r05 second pass: summing body lengths AFTER
+            # collecting them cannot prevent the oversized collect it
+            # guards) — one single-row agg over the limited slice,
+            # counting BYTES via octet_length (len() counts chars and
+            # under-reads multibyte bodies up to 4x), then the
+            # known-bounded collect. Two tiny jobs, both bounded.
+            probe = (
+                self.robots.limit(th + 1)
+                .agg(
+                    F.count("*").alias("n"),
+                    F.sum(F.octet_length("robots_body")).alias("b"),
+                )
+                .first()
             )
-            if len(rows) <= th and body_bytes <= cfg.robots_local_max_bytes:
+            if probe["n"] <= th and (probe["b"] or 0) <= cfg.robots_local_max_bytes:
+                rows = self.robots.collect()
                 table = {
                     (r["r_scheme"], r["r_host"]): (
                         int(r["robots_status"]) if r["robots_status"] is not None else None,

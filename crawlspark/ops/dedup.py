@@ -471,8 +471,18 @@ def cc_labels(
     the driver path. Deterministic fixpoint -> DuckDB-oracle-checkable
     via a recursive CTE. Shared by the text near-dup pipeline
     (dup_labels) and the image phash pipeline
-    (multimodal.image_dedup_materialize)."""
-    pairs = pairs.select("doc_a", "doc_b").persist()
+    (multimodal.image_dedup_materialize).
+
+    Null ids carry no identity — pairs with a null endpoint are
+    dropped up front in BOTH paths (code-review r05: the driver
+    union-find would otherwise crash comparing None against real
+    ids, while the distributed path silently emitted a (null, null)
+    row; neither is a useful answer)."""
+    pairs = (
+        pairs.select("doc_a", "doc_b")
+        .filter(F.col("doc_a").isNotNull() & F.col("doc_b").isNotNull())
+        .persist()
+    )
     if driver_threshold:
         head = pairs.limit(driver_threshold + 1).collect()
         if len(head) <= driver_threshold:
@@ -518,6 +528,7 @@ def cc_labels(
         .persist()
     )
     labels = prev
+    _cc_prev_spill: list = [None]  # last intermediate spill dir, if any
     for it in range(max_iters):
         neighbor_min = (
             edges.join(labels, edges["doc_b"] == labels["doc_id"])
@@ -547,19 +558,29 @@ def cc_labels(
         # persist caches DATA but not the LOGICAL plan: after ~20
         # stacked rounds the plan string alone OOMs the JVM (found by
         # the r05 chain-graph test) — spill to parquet every few
-        # rounds so deep-diameter graphs keep a bounded plan
+        # rounds so deep-diameter graphs keep a bounded plan; each
+        # spill releases its superseded predecessor so disk stays at
+        # <=2 label-set copies
         if (it + 1) % 4 == 0:
+            from ..scratch import release as _release
             from ..scratch import spill_and_reread as _spill
 
-            labels = _spill(labels, "crawlspark-cc-")
+            labels, d = _spill(labels, "crawlspark-cc-", return_dir=True)
             prev.unpersist()
             prev = labels
+            if _cc_prev_spill[0] is not None:
+                _release(_cc_prev_spill[0])
+            _cc_prev_spill[0] = d
     from ..scratch import spill_and_reread
 
     out = spill_and_reread(labels, "crawlspark-cc-")
     edges.unpersist()
     prev.unpersist()
     pairs.unpersist()
+    if _cc_prev_spill[0] is not None:
+        from ..scratch import release
+
+        release(_cc_prev_spill[0])  # superseded by the final spill above
     return out
 
 

@@ -49,19 +49,26 @@ def release(path: str) -> None:
     shutil.rmtree(path, ignore_errors=True)
 
 
-def spill_and_reread(df, prefix: str):
+def spill_and_reread(df, prefix: str, return_dir: bool = False):
     """Break lineage + release an iterative loop's cached frames via a
     parquet spill (the engine's store-backed pattern — never a driver
     collect): a long-lived session should not accumulate per-call
     cache entries, and downstream consumers should not re-run the
     iterative joins. The caller unpersists its own frames; the spill
     dir is atexit-cleaned (the returned DataFrame reads it lazily).
-    Shared by ops/dedup.cc_labels and analysis.graph_depths."""
+    ``return_dir=True`` also returns the spill directory so an
+    iterative caller can ``release()`` a SUPERSEDED earlier spill
+    once the new one has materialized (code-review r05: a
+    deep-diameter loop otherwise accumulates one full label-set copy
+    per spill until process exit). Shared by ops/dedup.cc_labels and
+    analysis.graph_depths."""
     import os
 
-    out = os.path.join(scratch_dir(prefix=prefix), "data")
+    d = scratch_dir(prefix=prefix)
+    out = os.path.join(d, "data")
     df.write.mode("overwrite").parquet(out)
-    return df.sparkSession.read.parquet(out)
+    reread = df.sparkSession.read.parquet(out)
+    return (reread, d) if return_dir else reread
 
 
 @atexit.register

@@ -1043,8 +1043,10 @@ def test_robots_local_gate_equals_join_gate(spark, tmp_path):
     blocked statuses, seen-set — as the rules-join path
     (robots_local_threshold=0), which remains the 10^7-host scale
     path. matrix_site includes robots-blocked URLs, so the gate
-    semantics (fetch_url evaluation, left-join-miss = allow-all
-    fallback) are actually exercised."""
+    semantics are actually exercised (fetch_url evaluation; a
+    left-join miss maps to the (None, None) matcher key =
+    robots.from_status(None) = DISALLOW_ALL — an unfetchable
+    robots.txt means disallow, and both gate paths must agree)."""
     pages_pdf, robots_pdf, seeds = testkit.matrix_site()
     outs = {}
     for name, th in (("local", 50_000), ("join", 0)):
