@@ -771,8 +771,12 @@ def test_warm_recrawl_midwave_resume(spark, tmp_path):
     victims = [r["UrlKey"] for r in g1.results().filter("Depth = 1").limit(2).collect()]
     g1.expire(victims)
 
-    # uninterrupted warm re-crawl, deeper + budgeted
-    cfg2 = CrawlConfig(From=seeds, MaxDepth=2, RespectNofollow=True, per_host_budget=2)
+    # uninterrupted warm re-crawl, deeper + budgeted — in EXACT-cap
+    # mode (r05): the rotating remainder window is a pure function of
+    # the sub-wave index, so the mid-wave resume below must recompute
+    # the identical takes (the docstring claim, pinned here)
+    cfg2 = CrawlConfig(From=seeds, MaxDepth=2, RespectNofollow=True,
+                       per_host_budget=2, per_host_budget_exact=True)
     full = SparkCrawler(
         spark, cfg2,
         testkit.pages_to_spark(spark, pages_pdf),
