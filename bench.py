@@ -204,13 +204,17 @@ def bench_crawl(spark) -> tuple[float, dict, float, dict, float, dict]:
     # landing inside the timed deep drain.
     _drain(spark, 2, 2, 1, 1)
     _drain(spark, 6, 4, 2, 2)
-    # deep is the cheapest drain and the most scheduling-bound, which
-    # makes it the most exposed to this VM's ±20-30% envelope
-    # (BASELINE.md hardware note) — take the best of two runs (~8 s
-    # extra) so one hot-VM reading doesn't misreport the wave loop
-    deep_secs, deep = min(
-        (_drain(spark, N_HOSTS, BRANCHING, DEPTH, HOT) for _ in range(2)),
-        key=lambda t: t[0],
+    # EVERY timed leg is best-of-2 (VERDICT r05 #1): this VM's shared
+    # ±20-30% envelope made the single-shot r5 record read as a wide/
+    # payload regression while local best-of-2 showed −25%. Both
+    # samples are emitted in the JSON (key "samples") for audit.
+    def _best2(fn):
+        runs = [fn(), fn()]
+        best = min(runs, key=lambda t: t[0])
+        return best[0], best[1], [round(r[0], 3) for r in runs]
+
+    deep_secs, deep, deep_samples = _best2(
+        lambda: _drain(spark, N_HOSTS, BRANCHING, DEPTH, HOT)
     )
     # bucketed pages layout is the documented 100 TB deployment shape
     # (PLANS.md fetch-join row): one-time untimed layout cost, every
@@ -218,9 +222,18 @@ def bench_crawl(spark) -> tuple[float, dict, float, dict, float, dict]:
     # Measured: wide 5411 -> 7439 URLs/s. CRAWLSPARK_BENCH_BUCKETED=0
     # opts out (plain parquet corpus).
     bucketed = os.environ.get("CRAWLSPARK_BENCH_BUCKETED", "1") != "0"
-    wide_secs, wide = _drain(spark, WIDE_HOSTS, WIDE_BRANCHING, 1, HOT, bucketed=bucketed)
-    pay_secs, pay = _payload_drain(spark, PAY_HOSTS, PAY_BRANCHING, HOT)
-    return deep_secs, deep, wide_secs, wide, pay_secs, pay
+    wide_secs, wide, wide_samples = _best2(
+        lambda: _drain(spark, WIDE_HOSTS, WIDE_BRANCHING, 1, HOT, bucketed=bucketed)
+    )
+    pay_secs, pay, pay_samples = _best2(
+        lambda: _payload_drain(spark, PAY_HOSTS, PAY_BRANCHING, HOT)
+    )
+    samples = {
+        "crawl_deep": deep_samples,
+        "crawl_wide": wide_samples,
+        "crawl_payload": pay_samples,
+    }
+    return deep_secs, deep, wide_secs, wide, pay_secs, pay, samples
 
 
 HEADLINE = [
@@ -265,12 +278,21 @@ def bench_queries(spark) -> dict[str, float]:
                 qs[name](spark, warm_dir).count()
             except Exception:
                 pass
-    out = {}
+    # best-of-2 per query (VERDICT r05 #1): a single hot-VM sample
+    # drifted ALL steady-state queries +30-60% in the r5 driver run.
+    # Two timed runs each (~20 s added total), best kept, both
+    # samples returned for the audit trail.
+    out: dict = {"_samples": {}}
     for name in HEADLINE:
-        t0 = time.time()
-        n = qs[name](spark, SF_DIR).count()
-        out[name] = round(time.time() - t0, 3)
+        runs = []
+        n = 0
+        for _ in range(2):
+            t0 = time.time()
+            n = qs[name](spark, SF_DIR).count()
+            runs.append(round(time.time() - t0, 3))
+        out[name] = min(runs)
         out[f"{name}_rows"] = n
+        out["_samples"][name] = runs
     return out
 
 
@@ -278,7 +300,7 @@ def main():
     spark = build_spark()
     spark.sparkContext.setLogLevel("ERROR")
 
-    deep_secs, deep, wide_secs, wide, pay_secs, pay = bench_crawl(spark)
+    deep_secs, deep, wide_secs, wide, pay_secs, pay, crawl_samples = bench_crawl(spark)
     # fresh JVM for the query section: a 400k-URL crawl leaves the
     # executor heap GC-pressured, which measured a ~4x slowdown on the
     # heaviest pure-JVM query (minhash 1.1 s fresh vs 4.3 s after a
@@ -289,6 +311,7 @@ def main():
     spark.sparkContext.setLogLevel("ERROR")
     qtimes = bench_queries(spark)
 
+    query_samples = qtimes.pop("_samples")
     query_secs = {k: v for k, v in qtimes.items() if not k.endswith("_rows")}
     total = round(deep_secs + wide_secs + pay_secs + sum(query_secs.values()), 3)
     result = {
@@ -312,6 +335,7 @@ def main():
         "payload_verified": pay["payload_verified"],
         "cpus": int(CPUS),
         "rows": {k[:-5]: v for k, v in qtimes.items() if k.endswith("_rows")},
+        "samples": {**crawl_samples, **query_samples},
     }
     print(json.dumps(result))
 
