@@ -202,26 +202,12 @@ def _parse_map(check_payload: bool, blocked_counter=None):
                     if r["url"] is None:  # LEFT-join miss: no page -> fetch error, silent drop
                         continue
                 hdrs = r["headers"]  # Arrow list column -> numpy array or None
-                if hdrs is None or isinstance(hdrs, float):
-                    hdrs = []
-                else:
-                    # ndarray -> list for oracle._sorted_headers (it
-                    # rebuilds {"K","V"} dicts itself — no per-item
-                    # copy here; plain `or []` would hit ndarray
-                    # truthiness)
-                    hdrs = list(hdrs)
-                page = {
-                    "status_code": r["status_code"],
-                    "status": r["status"],
-                    "proto": r["proto"],
-                    "proto_major": r["proto_major"],
-                    "proto_minor": r["proto_minor"],
-                    "content_type": r["content_type"],
-                    "location": r["location"],
-                    "headers": hdrs,
-                    "html": r["html"],
-                }
-                res = oracle.make_result_dict(r["fetch_url"], int(r["depth"]), page)
+                if isinstance(hdrs, float):  # pandas NaN for a null list
+                    r["headers"] = None
+                # the joined record IS page-shaped (same column names the
+                # page dict used to copy) — _sorted_headers iterates the
+                # ndarray directly, so no per-row dict/list rebuild here
+                res = oracle.make_result_dict(r["fetch_url"], int(r["depth"]), r)
                 res["Priority"] = int(r["priority"])
                 res["UrlKey"] = r["url_key"]
                 payload = None

@@ -134,10 +134,15 @@ class _Fallback(Exception):
 import re as _re
 from html import unescape as _unescape
 
+# one attr per repetition — shared between _TAG_START and the fused
+# anchor pattern below so the two grammars cannot diverge
+_ATTR_GRAMMAR = (
+    r"(?:\s+[a-zA-Z_:][-a-zA-Z0-9_:.]*"
+    r"(?:\s*=\s*(?:\"[^\"<]*\"|'[^'<]*'|[^\s>'\"<`=]+))?)*"
+)
 _TAG_START = _re.compile(
     r"<([a-zA-Z][a-zA-Z0-9:._-]*)"
-    r"((?:\s+[a-zA-Z_:][-a-zA-Z0-9_:.]*"
-    r"(?:\s*=\s*(?:\"[^\"<]*\"|'[^'<]*'|[^\s>'\"<`=]+))?)*)"
+    r"(" + _ATTR_GRAMMAR + r")"
     r"\s*(/?)>"
 )
 _TAG_ATTR = _re.compile(
@@ -430,6 +435,44 @@ def _extract_from_tree(root: _Node) -> dict:
 # points as _fast_tree) but no attr dict is built
 _EXTRACT_SET = frozenset(("title", "h1", "meta", "link", "a", "body", "head"))
 
+# Fused simple-element tails (r06 parse second pass): when an
+# a/title/h1 element's content is plain text (no '<' before the
+# matching close tag), the whole `text</tag>` tail is consumed as ONE
+# token — no end-tag regex, no stack push/pop, no sink-stack
+# truncation. `[^<]*` guarantees the first '<' after the start tag is
+# the close tag itself, so any nested markup/comment/truncation falls
+# through to the generic path (never a semantic shortcut). Close-tag
+# shape mirrors _TAG_END (case-insensitive name, optional trailing
+# whitespace).
+_SIMPLE_TAIL = {
+    t: _re.compile(r"([^<]*)</%s\s*>" % t, _re.I) for t in ("a", "title", "h1")
+}
+
+# Whole-anchor fusion (r06): `<a attrs>plain text</a>` as ONE regex
+# match — tag name exactly a/A (lookahead excludes <abbr>/<a:x>), the
+# IDENTICAL attr grammar as _TAG_START (shared _ATTR_GRAMMAR), then an
+# OPTIONAL plain-text tail + close tag. Tail group None (anchor has
+# nested markup / is truncated) falls through to the generic
+# stack-push path with the start tag already consumed — exactly what
+# _TAG_START would have produced for the same prefix.
+_A_FULL = _re.compile(
+    r"<[aA](?=[\s/>])(" + _ATTR_GRAMMAR + r")\s*(/?)>(?:([^<]*)</[aA]\s*>)?"
+)
+# The dominant attr shape in link corpora: href [rel], nothing else —
+# one anchored match instead of a finditer loop. Any other
+# shape/order/casing (incl. dup attrs, where last-wins matters) falls
+# back to the general finditer walk.
+_A_HREF_REL = _re.compile(
+    r"\s+href\s*=\s*(?:\"([^\"<]*)\"|'([^'<]*)'|([^\s>'\"<`=]+))"
+    r"(?:\s+rel\s*=\s*(?:\"([^\"<]*)\"|'([^'<]*)'|([^\s>'\"<`=]+)))?$"
+)
+# Sibling-anchor run: plain text (no '<' or '&', so no unescape and
+# no dispatch needed) followed by another whole anchor — link lists
+# chase this with one C-level match per anchor instead of re-entering
+# the outer tokenizer dispatch. Any non-matching content (entities in
+# the gap, a different tag, a close tag) breaks the run unconsumed.
+_A_RUN = _re.compile(r"([^<&]*)" + _A_FULL.pattern)
+
 
 def _fast_extract(s: str) -> dict:
     """Fused tokenize+extract: one pass over the same strict-subset
@@ -473,74 +516,197 @@ def _fast_extract(s: str) -> dict:
                 sk.append(seg)
         nxt = s[lt + 1] if lt + 1 < n else ""
         if nxt.isalpha():
+            if nxt == "a" or nxt == "A":
+                # whole-anchor fusion: start tag (+ plain-text content
+                # + close tag when simple) consumed in ONE regex match
+                m = _A_FULL.match(s, lt)
+                if m is not None:
+                    araw, selfclose, tail = m.groups()
+                    a_href = a_rel = None
+                    if araw:
+                        am = _A_HREF_REL.match(araw)
+                        if am is not None:
+                            g = am.groups()
+                            a_href = g[0] if g[0] is not None else (
+                                g[1] if g[1] is not None else g[2])
+                            a_rel = g[3] if g[3] is not None else (
+                                g[4] if g[4] is not None else g[5])
+                        else:
+                            for am in _TAG_ATTR.finditer(araw):
+                                name, _, dq, sq, unq = am.groups()
+                                val = dq if dq is not None else (
+                                    sq if sq is not None else unq)
+                                if not name.islower():
+                                    name = name.lower()
+                                if name == "href":
+                                    a_href = val  # dup attr: last wins
+                                elif name == "rel":
+                                    a_rel = val
+                    if a_href is not None and "&" in a_href:
+                        a_href = _unescape(a_href)
+                    if a_rel is not None and "&" in a_rel:
+                        a_rel = _unescape(a_rel)
+                    new_sink = []
+                    links.append(
+                        (a_href or "", new_sink, (a_rel or "") == "nofollow")
+                    )
+                    if selfclose:
+                        # never pushed -> empty subtree; a matched tail
+                        # belongs OUTSIDE the element (<a/>text</a>) —
+                        # rewind to just after '>' and reprocess it
+                        # generically (text + close-tag repair)
+                        i = m.start(3) if tail is not None else m.end()
+                        continue
+                    i = m.end()
+                    if tail is not None:
+                        if tail:
+                            seg = _unescape(tail) if "&" in tail else tail
+                            all_parts.append(seg)
+                            for sk in sinks:
+                                sk.append(seg)
+                            new_sink.append(seg)
+                        # chase the sibling-anchor run: one C-level
+                        # match per `text<a ...>text</a>` pair; breaks
+                        # (unconsumed) on anything else
+                        while True:
+                            rm = _A_RUN.match(s, i)
+                            if rm is None:
+                                break
+                            lead, araw, selfclose, rtail = rm.groups()
+                            if rtail is None or selfclose:
+                                break  # outer dispatch reprocesses from i
+                            if lead:
+                                all_parts.append(lead)
+                                for sk in sinks:
+                                    sk.append(lead)
+                            a_href = a_rel = None
+                            if araw:
+                                am = _A_HREF_REL.match(araw)
+                                if am is not None:
+                                    g = am.groups()
+                                    a_href = g[0] if g[0] is not None else (
+                                        g[1] if g[1] is not None else g[2])
+                                    a_rel = g[3] if g[3] is not None else (
+                                        g[4] if g[4] is not None else g[5])
+                                else:
+                                    for am in _TAG_ATTR.finditer(araw):
+                                        name, _, dq, sq, unq = am.groups()
+                                        val = dq if dq is not None else (
+                                            sq if sq is not None else unq)
+                                        if not name.islower():
+                                            name = name.lower()
+                                        if name == "href":
+                                            a_href = val
+                                        elif name == "rel":
+                                            a_rel = val
+                            if a_href is not None and "&" in a_href:
+                                a_href = _unescape(a_href)
+                            if a_rel is not None and "&" in a_rel:
+                                a_rel = _unescape(a_rel)
+                            new_sink = []
+                            if rtail:
+                                seg = _unescape(rtail) if "&" in rtail else rtail
+                                all_parts.append(seg)
+                                for sk in sinks:
+                                    sk.append(seg)
+                                new_sink.append(seg)
+                            links.append(
+                                (a_href or "", new_sink,
+                                 (a_rel or "") == "nofollow")
+                            )
+                            i = rm.end()
+                    else:
+                        stack.append(("a", len(sinks)))
+                        sinks.append(new_sink)
+                    continue
+                # <a...> that _A_FULL rejects is <abbr>/<a:x>/... or
+                # malformed — generic path below handles both
             m = _TAG_START.match(s, lt)
             if not m:
                 raise _Fallback
             tag, araw, selfclose = m.groups()
             if not tag.islower():
                 tag = tag.lower()
-            interesting = tag in _EXTRACT_SET
-            attrs = {} if interesting else None
-            # attr values are only parsed for tags extraction consumes;
-            # for every other tag ``araw`` needs no re-validation — it
-            # is group 2 of _TAG_START, i.e. it already matched the
-            # IDENTICAL attr grammar (the finditer tiling check in
+            i = m.end()
+            # attr values are only parsed for meta/link — the other
+            # tags whose attrs extraction consumes; for every other
+            # tag ``araw`` needs no re-validation — it is group 2 of
+            # _TAG_START, i.e. it already matched the IDENTICAL attr
+            # grammar per attr (the finditer tiling check in
             # _fast_tree exists because that path needs the attr
             # values for every node; the hypothesis differential
-            # covers this subset equivalence)
-            if araw and interesting:
-                apos = 0
-                for am in _TAG_ATTR.finditer(araw):
-                    if am.start() != apos:
-                        raise _Fallback
-                    apos = am.end()
-                    name, _, dq, sq, unq = am.groups()
-                    val = dq if dq is not None else (sq if sq is not None else unq)
-                    if val is not None and "&" in val:
-                        val = _unescape(val)
-                    if not name.islower():
-                        name = name.lower()
-                    attrs[name] = val  # dup attr: last wins (dict())
-                if apos != len(araw):
-                    raise _Fallback
-            i = m.end()
-            new_sink = None
-            if interesting:
-                if tag == "a":
-                    new_sink = []
-                    links.append(
-                        (attrs.get("href") or "", new_sink,
-                         (attrs.get("rel") or "") == "nofollow")
-                    )
-                elif tag == "title":
+            # covers this subset equivalence). title/h1 take the
+            # fused simple-tail path (r06): plain-text content
+            # consumed with the close tag in one token.
+            if tag == "a":
+                # unreachable: _A_FULL shares _ATTR_GRAMMAR with
+                # _TAG_START, so a start tag named exactly "a" that
+                # _TAG_START accepts is one _A_FULL accepted above.
+                # Tree-path fallback keeps us exact if that ever breaks.
+                raise _Fallback
+            if tag == "title" or tag == "h1":
+                # no attrs consumed — araw already grammar-validated
+                own = None
+                if tag == "title":
                     if title_s is None:
-                        title_s = new_sink = []
-                elif tag == "h1":
-                    if h1_s is None:
-                        h1_s = new_sink = []
+                        title_s = own = []
+                elif h1_s is None:
+                    h1_s = own = []
+                if selfclose:
+                    continue
+                m2 = _SIMPLE_TAIL[tag].match(s, i)
+                if m2:
+                    seg = m2.group(1)
+                    if seg:
+                        if "&" in seg:
+                            seg = _unescape(seg)
+                        all_parts.append(seg)
+                        for sk in sinks:
+                            sk.append(seg)
+                        if own is not None:
+                            own.append(seg)
+                    i = m2.end()
+                else:
+                    stack.append((tag, len(sinks)))
+                    if own is not None:
+                        sinks.append(own)
+                continue
+            new_sink = None
+            if tag in _EXTRACT_SET:
+                if tag == "meta" or tag == "link":
+                    attrs = {}
+                    if araw:
+                        for am in _TAG_ATTR.finditer(araw):
+                            name, _, dq, sq, unq = am.groups()
+                            val = dq if dq is not None else (sq if sq is not None else unq)
+                            if val is not None and "&" in val:
+                                val = _unescape(val)
+                            if not name.islower():
+                                name = name.lower()
+                            attrs[name] = val  # dup attr: last wins
+                    if tag == "meta":
+                        nm = attrs.get("name", _MISSING)
+                        if nm is not _MISSING:
+                            nm = nm or ""
+                            if nm == "description" and desc is None:
+                                desc = attrs.get("content") or ""
+                            elif nm == "robots" and robots_v is None:
+                                robots_v = attrs.get("content") or ""
+                    else:  # link
+                        rel = attrs.get("rel", _MISSING)
+                        if rel is not _MISSING and (rel or "") == "canonical":
+                            if canon_href is None:
+                                canon_href = attrs.get("href") or ""
+                        if rel == "alternate":  # plain-equality (tree: attrs.get)
+                            href = attrs.get("href") or ""
+                            if href != "":
+                                hreflang.append((href, attrs.get("hreflang") or ""))
                 elif tag == "body":
                     if body_s is None:
                         body_s = new_sink = []
-                elif tag == "head":
+                else:  # head
                     if head_s is None:
                         head_s = new_sink = []
-                elif tag == "meta":
-                    nm = attrs.get("name", _MISSING)
-                    if nm is not _MISSING:
-                        nm = nm or ""
-                        if nm == "description" and desc is None:
-                            desc = attrs.get("content") or ""
-                        elif nm == "robots" and robots_v is None:
-                            robots_v = attrs.get("content") or ""
-                else:  # link
-                    rel = attrs.get("rel", _MISSING)
-                    if rel is not _MISSING and (rel or "") == "canonical":
-                        if canon_href is None:
-                            canon_href = attrs.get("href") or ""
-                    if rel == "alternate":  # plain-equality (tree: attrs.get)
-                        href = attrs.get("href") or ""
-                        if href != "":
-                            hreflang.append((href, attrs.get("hreflang") or ""))
             if selfclose:
                 pass  # never pushed -> empty subtree (sink stays empty)
             elif tag in ("script", "style"):

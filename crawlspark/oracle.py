@@ -48,7 +48,11 @@ def fetch_key(queue_url: str) -> str:
 
 
 def _sorted_headers(headers) -> list:
-    hs = [{"K": h["K"], "V": h["V"]} for h in (headers or [])]
+    # accepts list/tuple/ndarray (Arrow passthrough) or None — no `or`
+    # (ndarray truthiness raises)
+    if headers is None or len(headers) == 0:
+        return []
+    hs = [{"K": h["K"], "V": h["V"]} for h in headers]
     return sorted(hs, key=lambda p: p["K"])
 
 
