@@ -324,7 +324,13 @@ class SparkCrawler:
         self.robots = robots_df.select(
             F.col("scheme").alias("r_scheme"),
             F.col("host").alias("r_host"),
-            F.col("status_code").alias("robots_status"),
+            # int cast at construction (ADVICE r05): both gate paths
+            # (join UDF and collect-time table) then see the same
+            # int-or-null status regardless of the caller's column
+            # type — the Matcher cache keys are type-identical by
+            # construction, and a NaN status can't crash the bounded
+            # collect below
+            F.col("status_code").cast("int").alias("robots_status"),
             F.col("body").alias("robots_body"),
         )
         # collected-robots gate (r05): ONE bounded collect decides and
@@ -718,14 +724,17 @@ class SparkCrawler:
         # robots.Locate parse failure (no host/scheme, e.g. mailto:)
         # -> URL skipped silently, no result row (state.go:57-61 FIXME path)
         parts = parts.filter((F.col("host") != "") & (F.col("scheme") != ""))
-        if self._robots_bc is not None:
-            return parts.withColumn(
-                "_allowed",
-                _robots_allowed_local_udf(cfg.RobotsUserAgent, self._robots_bc)(
-                    F.col("fetch_url"), F.col("scheme"), F.col("host")
-                ),
-            )
+        # an EXPLICIT robots_side wins over the collected-rules fast
+        # path (ADVICE r05): a caller pinning the join path (tests,
+        # the scale microbench) gets the join it asked for
         if robots_side is None:
+            if self._robots_bc is not None:
+                return parts.withColumn(
+                    "_allowed",
+                    _robots_allowed_local_udf(cfg.RobotsUserAgent, self._robots_bc)(
+                        F.col("fetch_url"), F.col("scheme"), F.col("host")
+                    ),
+                )
             robots_side = F.broadcast(self.robots) if cfg.robots_broadcast else self.robots
         return parts.join(
             robots_side,
@@ -751,8 +760,11 @@ class SparkCrawler:
         resume_parts: list | None = None,
     ) -> dict:
         cfg, store, spark = self.cfg, self.store, self.spark
+        # regate() still needs a join side when no collected-rules
+        # broadcast is active; _gate picks its own path (collected
+        # rules when available, else this same join side)
         robots_side = F.broadcast(self.robots) if cfg.robots_broadcast else self.robots
-        gated = self._gate(frontier, robots_side)
+        gated = self._gate(frontier)
 
         blocked_acc = spark.sparkContext.accumulator(0)
         budget = cfg.per_host_budget

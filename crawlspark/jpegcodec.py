@@ -380,6 +380,14 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         marker = data[pos + 1]
         if marker == 0xD9:  # EOI
             break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            # TEM / RSTn are STANDALONE markers (no length word) —
+            # reading a length here would misparse the stream and
+            # surface as a confusing downstream error (ADVICE r05);
+            # they can't appear in our own encoder's output
+            raise NotImplementedError(
+                f"standalone marker 0x{marker:02X} outside entropy data unsupported"
+            )
         (seglen,) = struct.unpack(">H", data[pos + 2 : pos + 4])
         payload = data[pos + 4 : pos + 2 + seglen]
         if marker == 0xDB:  # DQT

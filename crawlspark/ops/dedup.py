@@ -449,7 +449,10 @@ def embedding_neardup_ivf(
 
 
 def cc_labels(
-    pairs: DataFrame, max_iters: int = 20, driver_threshold: int = 200_000
+    pairs: DataFrame,
+    max_iters: int = 20,
+    driver_threshold: int = 200_000,
+    size_hint: int | None = None,
 ) -> DataFrame:
     """Connected components over an undirected pair graph
     (``doc_a``, ``doc_b`` columns, any orderable id type): returns
@@ -477,12 +480,22 @@ def cc_labels(
     dropped up front in BOTH paths (code-review r05: the driver
     union-find would otherwise crash comparing None against real
     ids, while the distributed path silently emitted a (null, null)
-    row; neither is a useful answer)."""
+    row; neither is a useful answer).
+
+    Probe cost (ADVICE r05): deciding the path costs one
+    limit(driver_threshold+1).collect() — up to ~threshold edge rows
+    of driver transfer — on EVERY call, known-huge graph or not. A
+    caller that already knows the edge count can pass ``size_hint``
+    (any number > driver_threshold skips the probe and goes straight
+    to the distributed loop); set driver_threshold=0 to opt out
+    entirely."""
     pairs = (
         pairs.select("doc_a", "doc_b")
         .filter(F.col("doc_a").isNotNull() & F.col("doc_b").isNotNull())
         .persist()
     )
+    if size_hint is not None and size_hint > driver_threshold:
+        driver_threshold = 0  # known-huge: skip the probe
     if driver_threshold:
         head = pairs.limit(driver_threshold + 1).collect()
         if len(head) <= driver_threshold:

@@ -33,6 +33,10 @@ N_HOSTS = int(os.environ.get("CRAWLSPARK_SCALE_HOSTS", "4000"))
 BRANCHING = int(os.environ.get("CRAWLSPARK_SCALE_BRANCHING", "50"))
 DEPTH = int(os.environ.get("CRAWLSPARK_SCALE_DEPTH", "1"))
 HOT = int(os.environ.get("CRAWLSPARK_SCALE_HOT", "3"))
+# "bloom" (default) or "cuckoo" — the per-round cuckoo-at-scale
+# evidence run (VERDICT r05 #4) sets this to "cuckoo" and records
+# throughput + overflowed-shard count next to the bloom number
+SEEN_FILTER = os.environ.get("CRAWLSPARK_SCALE_SEEN_FILTER", "bloom")
 # N for the N-vs-4N pair. NOTE this sandbox VM throttles per-core
 # throughput ~30-36% when >8-16 cores are busy (measured with plain
 # multiprocessing, no Spark — see BASELINE.md), so N=2 -> 4N=8 stays
@@ -94,6 +98,7 @@ def single_run(cpus: int) -> dict:
         shuffle_partitions=max(cpus, 8),
         parse_partitions=parse_parts,
         detailed_metrics=False,
+        seen_filter=SEEN_FILTER,
     )
     crawler = SparkCrawler(
         spark, cfg, pages, robots,
@@ -103,11 +108,15 @@ def single_run(cpus: int) -> dict:
     crawler.run()
     secs = time.time() - t0
     fetched = sum(m.get("fetched", 0) for m in crawler.store.metrics())
+    overflow = sum(
+        m.get("filter_overflow_shards") or 0 for m in crawler.store.metrics()
+    )
     expected = benchgen.expected_counts(N_HOSTS, BRANCHING, DEPTH, HOT)
     assert fetched == expected, (fetched, expected)
     spark.stop()
     return {"cpus": cpus, "seconds": round(secs, 2), "fetched": fetched,
-            "urls_per_sec": round(fetched / secs, 1)}
+            "urls_per_sec": round(fetched / secs, 1),
+            "seen_filter": SEEN_FILTER, "overflow_shards": overflow}
 
 
 def main():

@@ -1096,6 +1096,54 @@ def test_robots_local_gate_equals_join_gate(spark, tmp_path):
     assert c_big._robots_bc is None
 
 
+def test_robots_join_gate_plan_and_override(spark, tmp_path):
+    """The rules-JOIN gate (the 10^7-host scale path, VERDICT r05 #3)
+    must plan as a REAL join + exactly one gate UDF — no driver
+    collect of the rules; and an explicitly passed robots_side must
+    win over the collected-rules broadcast (ADVICE r05), so callers
+    pinning the join path get the join they asked for.
+    scripts/robots_join_bench.py measures this same shape at 500k
+    hosts / 10^6 frontier rows (BENCH.md row)."""
+    from pyspark.sql import functions as F
+
+    _JOINS = ("BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin")
+    pages_pdf, robots_pdf, seeds = testkit.matrix_site()
+    c = SparkCrawler(
+        spark,
+        CrawlConfig(From=seeds, MaxDepth=1, robots_local_threshold=0),
+        testkit.pages_to_spark(spark, pages_pdf),
+        testkit.robots_to_spark(spark, robots_pdf),
+        workdir=str(tmp_path / "joingate"),
+    )
+    assert c._robots_bc is None
+    gated = c._gate(c._initial_frontier())
+    plan = gated._jdf.queryExecution().executedPlan().toString()
+    assert any(j in plan for j in _JOINS), plan
+    assert plan.count("ArrowEvalPython") == 1, plan
+
+    c2 = SparkCrawler(
+        spark,
+        CrawlConfig(From=seeds, MaxDepth=1, robots_local_threshold=50_000),
+        testkit.pages_to_spark(spark, pages_pdf),
+        testkit.robots_to_spark(spark, robots_pdf),
+        workdir=str(tmp_path / "joingate2"),
+    )
+    assert c2._robots_bc is not None
+    # no explicit side -> collected path (no join in the plan)
+    plan_local = (
+        c2._gate(c2._initial_frontier())
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert not any(j in plan_local for j in _JOINS), plan_local
+    # explicit side -> join path, despite the active broadcast table
+    plan_over = (
+        c2._gate(c2._initial_frontier(), F.broadcast(c2.robots))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert any(j in plan_over for j in _JOINS), plan_over
+    assert plan_over.count("ArrowEvalPython") == 1, plan_over
+
+
 def test_bucketed_pages_fetch_join(spark, tmp_path):
     """Bucketed pages table: identical crawl output, and the fetch
     join plan scans the pages side bucketed (no pages-side shuffle)."""
