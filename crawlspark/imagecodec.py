@@ -16,10 +16,16 @@ platforms — which is exactly what the per-row invariant needs
              (real libjpeg output varies by build, which would break
              the determinism contract).
 
+- ``jpeg`` : a REAL baseline JFIF codec (crawlspark/jpegcodec.py,
+             r05) — q98 clears the PSNR>=40 payload gate.
+- ``webp`` : a REAL lossless VP8L codec (crawlspark/webpcodec.py,
+             r06) — spec-compliant simple-profile streams, exact
+             pixel equality on roundtrip.
+
 If PIL is available at runtime (not in this container) the loader in
-``try_pil_decode`` is used for real jpeg/webp bytes; otherwise those
-formats raise NotImplementedError (clearly-marked stub per the build
-brief) while png/qjpg are fully functional.
+``try_pil_decode`` is used for image bytes outside the own-codec
+subsets (e.g. lossy VP8 webp); otherwise those raise
+NotImplementedError with the reason.
 """
 
 from __future__ import annotations
@@ -156,6 +162,12 @@ def encode(arr: np.ndarray, fmt: str) -> bytes:
         from .jpegcodec import encode_jpeg
 
         return encode_jpeg(arr, quality=98)
+    if fmt == "webp":
+        # real lossless VP8L — own pure-numpy codec (r06, VERDICT r05
+        # #6); lossless, so the payload invariant is exact equality
+        from .webpcodec import encode_webp
+
+        return encode_webp(arr)
     raise NotImplementedError(f"encode fmt={fmt!r} (no codec libs in sandbox)")
 
 
@@ -168,6 +180,18 @@ def decode(data: bytes, fmt: str) -> np.ndarray:
         from .jpegcodec import decode_jpeg
 
         return decode_jpeg(data)
+    if fmt == "webp":
+        from .webpcodec import decode_webp
+
+        try:
+            return decode_webp(data)
+        except NotImplementedError as reason:
+            # out-of-subset webp (lossy VP8, heavy transforms): PIL
+            # if present, else the codec's specific loud failure
+            try:
+                return try_pil_decode(data)
+            except NotImplementedError:
+                raise reason from None
     return try_pil_decode(data)
 
 

@@ -3,11 +3,11 @@
 
 Image decode / feature-extract run as ``mapInPandas`` (Arrow batches
 of binary columns — the schema, partitioning and batch shape are the
-real 100 TB plumbing). Codecs: real for png/qjpg (crawlspark.
-imagecodec, dependency-free); jpeg/webp/audio/video decode is STUBBED
-behind NotImplementedError per the build brief (no codec libs in this
-container) — the operator surface and plumbing are identical either
-way.
+real 100 TB plumbing). Codecs: real and dependency-free for png/qjpg
+(crawlspark.imagecodec), baseline JFIF jpeg (jpegcodec, r05),
+lossless VP8L webp (webpcodec, r06) and QVID video (videocodec, r04);
+out-of-subset payloads (lossy VP8, audio) fail loudly with the
+reason.
 
 phash near-dup is pure column bit math (xor + bit_count), portable to
 the DuckDB oracle.

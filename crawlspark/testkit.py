@@ -196,17 +196,23 @@ def matrix_site():
     return pages, robots, seeds
 
 
-def make_images(n: int = 8, w: int = 24, h: int = 16, jpeg_every: int = 0) -> pd.DataFrame:
+def make_images(
+    n: int = 8, w: int = 24, h: int = 16, jpeg_every: int = 0, webp_every: int = 0
+) -> pd.DataFrame:
     """input_hint-shaped image corpus (image_id, bytes, w, h, fmt,
     caption, phash) — deterministic synth pixels, png/qjpg codecs.
     ``jpeg_every=k`` makes every k-th row a REAL baseline JFIF via the
     own pure-numpy codec (crawlspark/jpegcodec.py, r05) — q98, so even
-    the PSNR>=40 payload invariant holds for them."""
+    the PSNR>=40 payload invariant holds for them. ``webp_every=k``
+    (applied after the jpeg rule) makes every k-th remaining row a
+    REAL lossless VP8L webp (crawlspark/webpcodec.py, r06)."""
     rows = []
     for i in range(1, n + 1):
         image_id = f"img-{i:04d}"
         if jpeg_every and i % jpeg_every == 0:
             fmt = "jpeg"
+        elif webp_every and i % webp_every == 0:
+            fmt = "webp"
         else:
             fmt = "png" if i % 2 == 0 else "qjpg"
         arr = imagecodec.synth_image(image_id, w, h)

@@ -91,10 +91,12 @@ def main():
     # so the banded phash near-dup oracle has real selectivity
     # (85 of 276 pairs within hamming 7, not all-pairs)
     # every 3rd row is a REAL baseline JFIF (own pure-numpy codec,
-    # crawlspark/jpegcodec.py — r05, VERDICT r04 #7): the committed
-    # ground truths below are regenerated from the same row functions,
-    # so the image-operator oracles now cover real-JPEG decode too
-    images = testkit.make_images(24, jpeg_every=3)
+    # crawlspark/jpegcodec.py — r05, VERDICT r04 #7) and every 4th
+    # remaining row a REAL lossless VP8L webp (crawlspark/webpcodec.py
+    # — r06, VERDICT r05 #6): the committed ground truths below are
+    # regenerated from the same row functions, so the image-operator
+    # oracles cover real-JPEG and real-webp decode too
+    images = testkit.make_images(24, jpeg_every=3, webp_every=4)
     img_table = pa.Table.from_pandas(images, preserve_index=False)
     pq.write_table(img_table, os.path.join(out_dir, "images.parquet"), compression="snappy")
     print(f"images.parquet: {img_table.num_rows} rows")

@@ -486,11 +486,17 @@ def test_phash_deterministic_and_discriminative():
     assert bin((a ^ c) & ((1 << 64) - 1)).count("1") > 7
 
 
-def test_pil_formats_are_stubbed():
-    # jpeg is REAL since r05 (own codec) — webp remains the documented
-    # sandbox stub; truncated jpeg bytes now fail loudly as ValueError
-    with pytest.raises(NotImplementedError):
+def test_out_of_subset_payloads_fail_loudly():
+    # jpeg is REAL since r05, webp (lossless VP8L) since r06 — the
+    # remaining out-of-subset shapes fail loudly: truncated bytes as
+    # ValueError, lossy VP8 webp as NotImplementedError (no PIL here)
+    with pytest.raises(ValueError):
         imagecodec.decode(b"RIFF....WEBP", "webp")
+    with pytest.raises(Exception) as ei:
+        imagecodec.decode(
+            b"RIFF\x10\x00\x00\x00WEBPVP8 \x04\x00\x00\x00\x00\x00\x00\x00", "webp"
+        )
+    assert isinstance(ei.value, NotImplementedError)
     with pytest.raises(ValueError):
         imagecodec.decode(b"\xff\xd8\xff", "jpeg")
 
