@@ -38,11 +38,15 @@ def test_image_features_dims(spark, images):
     assert all(0.0 <= v <= 1.0 for r in out for v in r["features"])
 
 
-def test_frame_sample_is_stubbed(spark, images):
+def test_frame_sample_rejects_non_qvid(spark, images):
+    """The real QVID decoder must reject non-QVID payloads loudly
+    (image bytes are not a video container). Renamed from
+    test_frame_sample_is_stubbed — frame_sample has been real since
+    the r4 QVID codec (VERDICT r05 hygiene note)."""
     from crawlspark.ops import multimodal
 
     vids = images.selectExpr("image_id AS video_id", "bytes")
-    # Spark wraps the NotImplementedError in a Py4J/PythonException
+    # Spark wraps the ValueError in a Py4J/PythonException
     # whose message formatting varies — assert it raises at all
     with pytest.raises(Exception):
         multimodal.frame_sample(vids).collect()
