@@ -193,7 +193,7 @@ def _drain(spark, n_hosts, branching, depth, hot, bucketed: bool = False) -> tup
     return secs, {"fetched": fetched, "urls_per_sec": round(fetched / secs, 1)}
 
 
-def bench_crawl(spark) -> tuple[float, dict, float, dict, float, dict]:
+def bench_crawl(spark) -> tuple[float, dict, float, dict, float, dict, dict]:
     # untimed warmup: spins up the JVM codegen paths + reusable Python
     # workers so the timed drains measure steady-state crawl throughput,
     # not one-time process startup (the deep drain is only ~10 s of

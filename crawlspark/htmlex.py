@@ -435,17 +435,17 @@ def _extract_from_tree(root: _Node) -> dict:
 # points as _fast_tree) but no attr dict is built
 _EXTRACT_SET = frozenset(("title", "h1", "meta", "link", "a", "body", "head"))
 
-# Fused simple-element tails (r06 parse second pass): when an
-# a/title/h1 element's content is plain text (no '<' before the
+# Fused simple-element tails (r06 parse second pass): when a
+# title/h1 element's content is plain text (no '<' before the
 # matching close tag), the whole `text</tag>` tail is consumed as ONE
 # token — no end-tag regex, no stack push/pop, no sink-stack
 # truncation. `[^<]*` guarantees the first '<' after the start tag is
 # the close tag itself, so any nested markup/comment/truncation falls
 # through to the generic path (never a semantic shortcut). Close-tag
 # shape mirrors _TAG_END (case-insensitive name, optional trailing
-# whitespace).
+# whitespace). Anchors get the same fusion via _A_FULL below.
 _SIMPLE_TAIL = {
-    t: _re.compile(r"([^<]*)</%s\s*>" % t, _re.I) for t in ("a", "title", "h1")
+    t: _re.compile(r"([^<]*)</%s\s*>" % t, _re.I) for t in ("title", "h1")
 }
 
 # Whole-anchor fusion (r06): `<a attrs>plain text</a>` as ONE regex
@@ -472,6 +472,26 @@ _A_HREF_REL = _re.compile(
 # the outer tokenizer dispatch. Any non-matching content (entities in
 # the gap, a different tag, a close tag) breaks the run unconsumed.
 _A_RUN = _re.compile(r"([^<&]*)" + _A_FULL.pattern)
+
+
+def _anchor_attrs_walk(araw: str) -> tuple[str | None, str | None]:
+    """(href, rel) of an anchor attr string that the _A_HREF_REL fast
+    shape didn't match — the SINGLE copy of the general walk
+    (lowercase names, dup-attr last wins) shared by the fused-anchor
+    branch and the _A_RUN loop; callers inline the fast match and the
+    final unescape (hot loop: an extra call per anchor measures ~3%
+    of the parse row)."""
+    a_href = a_rel = None
+    for am in _TAG_ATTR.finditer(araw):
+        name, _, dq, sq, unq = am.groups()
+        val = dq if dq is not None else (sq if sq is not None else unq)
+        if not name.islower():
+            name = name.lower()
+        if name == "href":
+            a_href = val  # dup attr: last wins
+        elif name == "rel":
+            a_rel = val
+    return a_href, a_rel
 
 
 def _fast_extract(s: str) -> dict:
@@ -532,20 +552,11 @@ def _fast_extract(s: str) -> dict:
                             a_rel = g[3] if g[3] is not None else (
                                 g[4] if g[4] is not None else g[5])
                         else:
-                            for am in _TAG_ATTR.finditer(araw):
-                                name, _, dq, sq, unq = am.groups()
-                                val = dq if dq is not None else (
-                                    sq if sq is not None else unq)
-                                if not name.islower():
-                                    name = name.lower()
-                                if name == "href":
-                                    a_href = val  # dup attr: last wins
-                                elif name == "rel":
-                                    a_rel = val
-                    if a_href is not None and "&" in a_href:
-                        a_href = _unescape(a_href)
-                    if a_rel is not None and "&" in a_rel:
-                        a_rel = _unescape(a_rel)
+                            a_href, a_rel = _anchor_attrs_walk(araw)
+                        if a_href is not None and "&" in a_href:
+                            a_href = _unescape(a_href)
+                        if a_rel is not None and "&" in a_rel:
+                            a_rel = _unescape(a_rel)
                     new_sink = []
                     links.append(
                         (a_href or "", new_sink, (a_rel or "") == "nofollow")
@@ -589,20 +600,11 @@ def _fast_extract(s: str) -> dict:
                                     a_rel = g[3] if g[3] is not None else (
                                         g[4] if g[4] is not None else g[5])
                                 else:
-                                    for am in _TAG_ATTR.finditer(araw):
-                                        name, _, dq, sq, unq = am.groups()
-                                        val = dq if dq is not None else (
-                                            sq if sq is not None else unq)
-                                        if not name.islower():
-                                            name = name.lower()
-                                        if name == "href":
-                                            a_href = val
-                                        elif name == "rel":
-                                            a_rel = val
-                            if a_href is not None and "&" in a_href:
-                                a_href = _unescape(a_href)
-                            if a_rel is not None and "&" in a_rel:
-                                a_rel = _unescape(a_rel)
+                                    a_href, a_rel = _anchor_attrs_walk(araw)
+                                if a_href is not None and "&" in a_href:
+                                    a_href = _unescape(a_href)
+                                if a_rel is not None and "&" in a_rel:
+                                    a_rel = _unescape(a_rel)
                             new_sink = []
                             if rtail:
                                 seg = _unescape(rtail) if "&" in rtail else rtail

@@ -171,10 +171,11 @@ def _huffman_lengths(freqs: np.ndarray, max_len: int) -> list[int]:
     at ``max_len`` with the standard overflow fixup (zlib-style: move
     over-deep leaves up, paying by deepening the shallowest deep
     node). Zero-frequency symbols get length 0."""
+    max_len = int(max_len)  # numpy ints break the 2**(max_len-l) sums
     syms = [int(s) for s in np.nonzero(freqs)[0]]
     if len(syms) <= 1:
         return [1 if s in syms else 0 for s in range(len(freqs))]
-    # heap-free O(n log n) huffman via two sorted queues
+    # standard heap huffman, then the zlib-style depth-cap fixup below
     import heapq
 
     heap = [(int(freqs[s]), s, None, None) for s in syms]
@@ -209,7 +210,9 @@ def _huffman_lengths(freqs: np.ndarray, max_len: int) -> list[int]:
         )
         lengths[cand] += 1
         # re-check Kraft sum; loop until the code is feasible
-        while sum(2 ** (max_len - lengths[s]) for s in syms) > 2**max_len:
+        # float exponent on purpose: leaves still deeper than max_len
+        # contribute fractional Kraft mass (2.0**-k) mid-fixup
+        while sum(2.0 ** (max_len - lengths[s]) for s in syms) > 2**max_len:
             cand = max(
                 (s for s in syms if lengths[s] < max_len),
                 key=lambda s: lengths[s],
@@ -235,7 +238,7 @@ def _huffman_lengths(freqs: np.ndarray, max_len: int) -> list[int]:
 # ------------------------------------------------------------- encoder
 
 
-def _write_prefix_code(bw: _BitWriter, lengths: list[int], symbols_hist: np.ndarray):
+def _write_prefix_code(bw: _BitWriter, lengths: list[int]):
     """Write one prefix code: simple form for ≤2 symbols, else the
     code-length-coded normal form (no RLE, no max_symbol — both are
     decoder-side features)."""
@@ -309,7 +312,7 @@ def encode_webp(arr: np.ndarray) -> bytes:
         ("dist", dist_hist, 15),
     ):
         lengths = _huffman_lengths(hist, cap)
-        _write_prefix_code(bw, lengths, hist)
+        _write_prefix_code(bw, lengths)
         # single-symbol codes read as ZERO bits — write nothing for them
         lens[name] = (
             _canonical_codes(lengths) if sum(1 for v in lengths if v) > 1 else None
