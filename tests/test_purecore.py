@@ -286,6 +286,46 @@ def test_fast_extract_differential():
     assert n_fast >= len(corpus) * 0.8, n_fast
 
 
+def test_fast_extract_differential_anchor_runs():
+    """r06 whole-anchor fusion (_A_FULL / _A_RUN / _A_HREF_REL):
+    link-list-shaped docs — sibling anchor runs with every attr shape
+    (dup href, reversed order, uppercase, entities, value-less),
+    self-closed anchors, stray close tags, nesting — must extract
+    identically to the tree path or fall back."""
+    import random
+
+    rng = random.Random(31337)
+    attrs = ["", " href=/r", " rel=nofollow", " href='/a&amp;b' rel=x",
+             " rel=x href=/y", " href=/1 href=/2", " HREF=/UP REL=NOFOLLOW",
+             " href", " rel", " id=3 href=/z", " href=/z id=3",
+             " rel='nofollow '", " href='' rel=''"]
+    bodies = ["t", "", "x & y", "<i>n</i>", "Child 3", "4 < 5"]
+    closes = ["</a>", "</A >", "", "</b>"]
+
+    def run(n):
+        segs = []
+        for _ in range(n):
+            segs.append(rng.choice([" ", "", "txt ", "a&b ", "<b>x</b>"]))
+            if rng.random() < 0.06:
+                segs.append(f"<a{rng.choice(attrs)}/>")
+            segs.append(
+                f"<a{rng.choice(attrs)}>{rng.choice(bodies)}{rng.choice(closes)}"
+            )
+        return "".join(segs)
+
+    n_fast = 0
+    for _ in range(2500):
+        doc = "<body>" + run(rng.randint(1, 8)) + rng.choice(["</body>", ""])
+        tree = htmlex._extract_from_tree(htmlex.parse_tree_slow(doc))
+        try:
+            fast = htmlex._fast_extract(doc)
+        except htmlex._Fallback:
+            continue
+        n_fast += 1
+        assert fast == tree, repr(doc)
+    assert n_fast >= 2000, n_fast
+
+
 def test_fast_extract_differential_hypothesis():
     """Property: for ANY string, the fused extractor either falls
     back or equals the tree extraction exactly."""
