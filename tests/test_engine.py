@@ -106,7 +106,10 @@ def test_metrics_recorded(nice):
 @pytest.fixture(scope="module")
 def matrix(spark, tmp_path_factory):
     pages_pdf, robots_pdf, seeds = testkit.matrix_site()
-    images_pdf = testkit.make_images(8)
+    # the crawled trio img-0001..3 spans the codec matrix: qjpg
+    # (lossy stand-in), webp (real lossless VP8L, r06), jpeg (real
+    # baseline JFIF, r05) — the payload invariant runs on all three
+    images_pdf = testkit.make_images(8, jpeg_every=3, webp_every=2)
     cfg = CrawlConfig(From=seeds, MaxDepth=3, RespectNofollow=False)
     crawler = SparkCrawler(
         spark,
@@ -137,16 +140,20 @@ def test_matrix_blocked_and_redirects(matrix):
 
 
 def test_matrix_payload_invariant(matrix):
-    """input_hint: decoded-pixel PSNR>=40dB + caption equality."""
+    """input_hint: decoded-pixel PSNR>=40dB + caption equality —
+    across the full codec matrix (qjpg / real webp / real jpeg)."""
     crawler, _ = matrix
     from crawlspark import imagecodec
 
     rows = crawler.results().filter("Payload IS NOT NULL").collect()
     assert len(rows) == 3  # img/1..3 linked from root
+    assert {r["Payload"]["Fmt"] for r in rows} == {"qjpg", "webp", "jpeg"}
     for r in rows:
         p = r["Payload"]
         assert p["PixelsOk"] is True
         assert p["Psnr"] >= 40.0
+        if p["Fmt"] == "webp":  # lossless -> exact, PSNR infinite
+            assert p["Psnr"] == float("inf")
         assert p["Caption"] == imagecodec.caption_for(p["ImageId"])
 
 
