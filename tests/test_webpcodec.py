@@ -39,6 +39,28 @@ def test_roundtrip_edge_shapes_exact():
         assert np.array_equal(decode_webp(encode_webp(a)), a)
 
 
+def test_roundtrip_hypothesis_exact():
+    """Property: ANY (h, w, 3) uint8 array roundtrips exactly
+    (lossless), with hypothesis shrinking on failure."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+    from hypothesis.extra import numpy as hnp
+
+    @settings(max_examples=120, deadline=None)
+    @given(
+        hnp.arrays(
+            dtype=np.uint8,
+            shape=st.tuples(
+                st.integers(1, 10), st.integers(1, 10), st.just(3)
+            ),
+        )
+    )
+    def prop(a):
+        assert np.array_equal(decode_webp(encode_webp(a)), a)
+
+    prop()
+
+
 def test_roundtrip_fuzz_exact():
     rng = np.random.RandomState(99)
     for _ in range(150):
