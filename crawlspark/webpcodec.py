@@ -277,8 +277,14 @@ def _write_prefix_code(bw: _BitWriter, lengths: list[int]):
         bw.write_code(code, clen)
 
 
-def encode_webp(arr: np.ndarray) -> bytes:
-    """(h, w, 3) uint8 RGB -> lossless WebP (VP8L), literal-only."""
+def encode_webp(arr: np.ndarray, subtract_green: bool = True) -> bytes:
+    """(h, w, 3) uint8 RGB -> lossless WebP (VP8L), literal-only.
+
+    ``subtract_green`` (default) stores (r-g, g, b-g) mod 256 behind
+    the spec's SUBTRACT_GREEN transform — typically smaller codes for
+    correlated channels, and it makes every own-encoded file (incl.
+    the committed fixtures) exercise the decoder's transform-inverse
+    path, not just the hand-built test streams."""
     if arr.ndim != 3 or arr.shape[2] != 3 or arr.dtype != np.uint8:
         raise ValueError("encode_webp expects (h, w, 3) uint8")
     h, w, _ = arr.shape
@@ -289,12 +295,18 @@ def encode_webp(arr: np.ndarray) -> bytes:
     bw.write(h - 1, 14)
     bw.write(0, 1)  # alpha hint: unused
     bw.write(0, 3)  # version
+    if subtract_green:
+        bw.write(1, 1)  # a transform follows
+        bw.write(2, 2)  # SUBTRACT_GREEN (no payload)
     bw.write(0, 1)  # no more transforms
     bw.write(0, 1)  # no color cache
     bw.write(0, 1)  # no meta prefix codes
     g = arr[:, :, 1].ravel()
     r = arr[:, :, 0].ravel()
     b = arr[:, :, 2].ravel()
+    if subtract_green:
+        r = (r.astype(np.int16) - g).astype(np.uint8)
+        b = (b.astype(np.int16) - g).astype(np.uint8)
     green_hist = np.zeros(256 + _NUM_LENGTH_PREFIXES, dtype=np.int64)
     np.add.at(green_hist, g, 1)
     red_hist = np.bincount(r, minlength=256).astype(np.int64)
