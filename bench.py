@@ -47,6 +47,27 @@ PAY_HOSTS = int(os.environ.get("CRAWLSPARK_BENCH_PAY_HOSTS", "1000"))
 PAY_BRANCHING = int(os.environ.get("CRAWLSPARK_BENCH_PAY_BRANCHING", "50"))
 
 
+def vm_calibration() -> float:
+    """Single-core numpy burn (VERDICT r06 #1): a fixed deterministic
+    workload timed OUTSIDE the crawl legs so any record can be
+    normalized post-hoc against the VM's speed during THAT run. The
+    r6 'crawl_deep regression' was this VM drifting: r5 code rerun on
+    a quiet VM read 5.86-6.51 s best vs its 5.74 record, r6 code read
+    5.95 — identical — while the official r6 record (9.98) was drawn
+    in a slow window. Nominal on a quiet VM: ~0.36-0.40 s; scale
+    recorded leg times by (nominal / observed) to compare rounds."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    a = rng.random((512, 512))
+    t0 = time.time()
+    for _ in range(120):
+        a = np.tanh(a @ a.T / 512.0)
+    if not np.isfinite(a.sum()):  # keep the loop un-elidable
+        raise AssertionError
+    return round(time.time() - t0, 3)
+
+
 def build_spark(cpus: str = CPUS):
     from pyspark.sql import SparkSession
 
@@ -204,17 +225,19 @@ def bench_crawl(spark) -> tuple[float, dict, float, dict, float, dict, dict]:
     # landing inside the timed deep drain.
     _drain(spark, 2, 2, 1, 1)
     _drain(spark, 6, 4, 2, 2)
-    # EVERY timed leg is best-of-2 (VERDICT r05 #1): this VM's shared
-    # ±20-30% envelope made the single-shot r5 record read as a wide/
-    # payload regression while local best-of-2 showed −25%. Both
-    # samples are emitted in the JSON (key "samples") for audit.
-    def _best2(fn):
-        runs = [fn(), fn()]
+    # Crawl legs are best-of-3, queries best-of-2 (VERDICT r05 #1 +
+    # r06 #1/#2): this VM's shared ±20-30% envelope made single-shot
+    # r5 legs read as regressions, and r6 showed successive drain runs
+    # warm DOWN ~8.8 -> 5.9 s within a session (JIT) — best-of-2's
+    # two samples can both land on the warm-up slope. All samples are
+    # emitted in the JSON (key "samples") for audit.
+    def _best2(fn, n=2):
+        runs = [fn() for _ in range(n)]
         best = min(runs, key=lambda t: t[0])
         return best[0], best[1], [round(r[0], 3) for r in runs]
 
     deep_secs, deep, deep_samples = _best2(
-        lambda: _drain(spark, N_HOSTS, BRANCHING, DEPTH, HOT)
+        lambda: _drain(spark, N_HOSTS, BRANCHING, DEPTH, HOT), n=3
     )
     # bucketed pages layout is the documented 100 TB deployment shape
     # (PLANS.md fetch-join row): one-time untimed layout cost, every
@@ -223,10 +246,11 @@ def bench_crawl(spark) -> tuple[float, dict, float, dict, float, dict, dict]:
     # opts out (plain parquet corpus).
     bucketed = os.environ.get("CRAWLSPARK_BENCH_BUCKETED", "1") != "0"
     wide_secs, wide, wide_samples = _best2(
-        lambda: _drain(spark, WIDE_HOSTS, WIDE_BRANCHING, 1, HOT, bucketed=bucketed)
+        lambda: _drain(spark, WIDE_HOSTS, WIDE_BRANCHING, 1, HOT, bucketed=bucketed),
+        n=3,
     )
     pay_secs, pay, pay_samples = _best2(
-        lambda: _payload_drain(spark, PAY_HOSTS, PAY_BRANCHING, HOT)
+        lambda: _payload_drain(spark, PAY_HOSTS, PAY_BRANCHING, HOT), n=3
     )
     samples = {
         "crawl_deep": deep_samples,
@@ -297,6 +321,7 @@ def bench_queries(spark) -> dict[str, float]:
 
 
 def main():
+    cal_pre = vm_calibration()
     spark = build_spark()
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -310,6 +335,7 @@ def main():
     spark = build_spark()
     spark.sparkContext.setLogLevel("ERROR")
     qtimes = bench_queries(spark)
+    cal_post = vm_calibration()
 
     query_samples = qtimes.pop("_samples")
     query_secs = {k: v for k, v in qtimes.items() if not k.endswith("_rows")}
@@ -336,6 +362,11 @@ def main():
         "cpus": int(CPUS),
         "rows": {k[:-5]: v for k, v in qtimes.items() if k.endswith("_rows")},
         "samples": {**crawl_samples, **query_samples},
+        # single-core numpy burn before the crawl legs / after the
+        # queries; nominal ~0.36-0.40 s on a quiet VM (vm_calibration
+        # docstring) — normalize leg times by (nominal / observed)
+        "calibration_sec": [cal_pre, cal_post],
+        "calibration_nominal_sec": 0.38,
     }
     print(json.dumps(result))
 
