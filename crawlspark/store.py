@@ -37,9 +37,16 @@ __all__ = ["SnapshotStore"]
 
 
 class SnapshotStore:
-    def __init__(self, spark: SparkSession, root: str):
+    def __init__(self, spark: SparkSession, root: str, codec: str = "zstd"):
         self.spark = spark
         self.root = root
+        # zstd by default (writer-knob A/B, BENCH.md round 7): on the
+        # hydrated 200k-row results slice it writes AND reads back at
+        # snappy speed while emitting 2.9x fewer bytes (24 vs 69 MB) —
+        # at 100 TB the written-byte count is a first-order cost on
+        # the product path (the reference's NDJSON emit analogue,
+        # crawl.go:147-150).
+        self.codec = codec
         self.manifest_dir = os.path.join(root, "_manifests")
         os.makedirs(self.manifest_dir, exist_ok=True)
         self._pending: dict[str, dict] = {}
@@ -55,7 +62,9 @@ class SnapshotStore:
         with_lineage = df.withColumn("_wave", F.lit(wave)).withColumn(
             "_part", F.spark_partition_id()
         )
-        with_lineage.write.mode("overwrite").parquet(path)
+        with_lineage.write.mode("overwrite").option(
+            "compression", self.codec
+        ).parquet(path)
         files = [
             os.path.join(path, f)
             for f in os.listdir(path)
