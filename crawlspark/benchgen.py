@@ -51,6 +51,9 @@ def gen_pages(
     """``with_images``: every non-seed page carries an
     ``image_id = host/pid`` reference into gen_images' corpus — the
     input_hint image+caption crawl at bench scale."""
+    from .shipping import ensure_shipped
+
+    ensure_shipped(spark)
     hosts = spark.range(n_hosts).select(F.col("id").cast("int").alias("k"))
     hosts = hosts.repartition(min(n_hosts, 64))
 
@@ -89,7 +92,9 @@ def gen_images(
     page, synthesized inside mapInPandas so generation distributes
     exactly like the pages table."""
     from .schema import IMAGE_SCHEMA
+    from .shipping import ensure_shipped
 
+    ensure_shipped(spark)
     hosts = spark.range(n_hosts).select(F.col("id").cast("int").alias("k"))
     hosts = hosts.repartition(min(n_hosts, 64))
     cols = [f.name for f in IMAGE_SCHEMA.fields]

@@ -645,6 +645,9 @@ def simhash(docs: DataFrame) -> DataFrame:
     """64-bit SimHash over word md5 hashes (vectorized numpy inside a
     pandas UDF; oracle-checked via a full HUGEINT bit-vote SQL
     recompute in the DuckDB twin)."""
+    from ..shipping import ensure_shipped_df
+
+    ensure_shipped_df(docs)
 
     @F.pandas_udf(T.LongType())
     def _simhash(texts: pd.Series) -> pd.Series:

@@ -20,6 +20,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from ..shipping import ensure_shipped_df
+
 __all__ = ["decode_stats", "image_features", "phash_neardup",
            "image_dedup_materialize", "caption_stats", "frame_sample"]
 
@@ -71,6 +73,7 @@ def decode_stats(images: DataFrame) -> DataFrame:
     """Decode every image, per-channel means + PSNR vs the seeded
     ground truth + phash re-check — the per-row payload invariant as
     a distributed operator."""
+    ensure_shipped_df(images)
 
     def fn(batches):
         for pdf in batches:
@@ -118,6 +121,7 @@ def image_features(images: DataFrame, grid: int = 4) -> DataFrame:
     """Feature extraction: grid-pooled mean intensities -> a
     grid*grid*3 float vector (the embedding-column producer for
     ops/similarity over image corpora)."""
+    ensure_shipped_df(images)
 
     def fn(batches):
         for pdf in batches:
@@ -248,6 +252,7 @@ def resize_images(images: DataFrame, out_w: int = 16, out_h: int = 16) -> DataFr
     """Decode -> block-mean resize (pure numpy) -> re-encode PNG.
     The thumbnail stage of an image-training pipeline; Arrow-batched
     mapInPandas, output is a valid input_hint-shaped table."""
+    ensure_shipped_df(images)
 
     def fn(batches):
         for pdf in batches:
@@ -307,6 +312,7 @@ def frame_sample(videos: DataFrame, every_n: int = 10) -> DataFrame:
     (video_id, bytes) rows — the same multi-executor shape as the
     image decode path; a real-codec swap only replaces the row
     function's decode call."""
+    ensure_shipped_df(videos)
 
     def fn(batches):
         for pdf in batches:

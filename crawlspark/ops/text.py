@@ -111,6 +111,9 @@ def langid(docs: DataFrame) -> DataFrame:
     """Character-trigram profile scorer. On synthetic word-salad text
     this mostly says 'en'/'unknown' — the operator (not the
     classifier) is what the pipeline needs."""
+    from ..shipping import ensure_shipped_df
+
+    ensure_shipped_df(docs)
 
     @F.pandas_udf(T.StringType())
     def _lid(texts: pd.Series) -> pd.Series:

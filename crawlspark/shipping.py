@@ -14,7 +14,7 @@ import os
 import tempfile
 import zipfile
 
-__all__ = ["ensure_shipped", "make_pyfiles_zip"]
+__all__ = ["ensure_shipped", "ensure_shipped_df", "make_pyfiles_zip"]
 
 
 def _loaded_from_zip() -> bool:
@@ -44,6 +44,14 @@ def make_pyfiles_zip(dest: str | None = None) -> str:
 
 
 def ensure_shipped(spark) -> None:
+    """MUST run before any crawlspark Python-UDF frame is DEFINED,
+    not merely before it executes: PySpark snapshots the session's
+    py-files list into the serialized PythonFunction at UDF creation,
+    so a mapInPandas/applyInPandas/pandas_udf frame built before
+    addPyFile never sees the zip (its workers then fail with
+    ModuleNotFoundError from any non-repo cwd — found round 7 driving
+    benchgen from /tmp). Every public UDF-creating entry point
+    therefore calls ensure_shipped/ensure_shipped_df itself."""
     sc = spark.sparkContext
     if getattr(sc, "_crawlspark_shipped", False):
         return
@@ -55,3 +63,8 @@ def ensure_shipped(spark) -> None:
         return
     sc.addPyFile(make_pyfiles_zip())
     sc._crawlspark_shipped = True
+
+
+def ensure_shipped_df(df) -> None:
+    """ensure_shipped for APIs that receive a DataFrame, not a session."""
+    ensure_shipped(df.sparkSession)

@@ -21,7 +21,16 @@ codes (plane code > 120), the subtract-green transform, the
 max_symbol cutoff, and RLE code lengths (16/17/18). Out-of-subset
 features fail LOUDLY with the reason (lossy VP8, VP8X container,
 predictor / cross-color / color-indexing transforms, meta prefix
-codes, 2D distance plane codes ≤ 120) — never a silent wrong decode.
+codes, 2D distance plane codes ≤ 120, non-opaque alpha) — never a
+silent wrong decode.
+
+Literal-only streams with no color cache (every own-encoded file)
+decode on a fully vectorized numpy path: 15-bit-window LUTs decode
+SPECULATIVELY at every bit position, and pointer doubling over the
+per-position pixel-transition map recovers the true start positions
+in log2(n) gathers (``_literal_decode_fast``; ``FAST_LITERAL=False``
+pins the per-pixel reference loop, and the two are pinned equal by
+tests/test_webpcodec.py).
 
 Bit order is LSB-first within bytes (DEFLATE-style); canonical prefix
 codes are read bit-by-bit MSB-of-code-first, exactly the DEFLATE
@@ -113,9 +122,11 @@ def _canonical_codes(lengths: list[int]) -> dict[int, tuple[int, int]]:
 
 
 class _Decoder:
-    """Bit-by-bit canonical prefix decoder (code read MSB-first)."""
+    """Bit-by-bit canonical prefix decoder (code read MSB-first).
+    ``code_map`` (symbol -> (code, length)) is kept for the vectorized
+    literal fast path's LUT build."""
 
-    __slots__ = ("table", "single")
+    __slots__ = ("table", "single", "code_map")
 
     def __init__(self, lengths: list[int]):
         nz = [(s, ln) for s, ln in enumerate(lengths) if ln]
@@ -125,6 +136,7 @@ class _Decoder:
             # one symbol: zero-bit code
             self.single = nz[0][0]
             self.table = None
+            self.code_map = {self.single: (0, 0)}
             return
         # over-subscribed / incomplete codes are corrupt
         if sum(1 << (max(ln for _, ln in nz) - ln) for _, ln in nz) != (
@@ -132,19 +144,22 @@ class _Decoder:
         ):
             raise ValueError("webp: invalid (non-complete) prefix code")
         self.single = None
-        self.table = {
-            (ln, code): sym for sym, (code, ln) in _canonical_codes(lengths).items()
-        }
+        self.code_map = _canonical_codes(lengths)
+        self.table = {(ln, code): sym for sym, (code, ln) in self.code_map.items()}
 
     @classmethod
     def simple(cls, symbols: list[int]):
         self = cls.__new__(cls)
+        if len(symbols) != len(set(symbols)):
+            raise ValueError("webp: duplicate simple-code symbols")
         if len(symbols) == 1:
             self.single = symbols[0]
             self.table = None
+            self.code_map = {symbols[0]: (0, 0)}
         else:
             self.single = None
             self.table = {(1, 0): symbols[0], (1, 1): symbols[1]}
+            self.code_map = {symbols[0]: (0, 1), symbols[1]: (1, 1)}
         return self
 
     def read(self, br: _BitReader) -> int:
@@ -362,6 +377,13 @@ def _read_prefix_code(br: _BitReader, alphabet_size: int) -> _Decoder:
             symbols = [br.read(1)]
         if num_symbols == 2:
             symbols.append(br.read(8))
+        # a corrupt stream can declare e.g. distance symbol 200 in the
+        # 40-symbol alphabet — fail at parse time, not via a garbage
+        # downstream read (ADVICE r06)
+        if any(s >= alphabet_size for s in symbols):
+            raise ValueError(
+                f"webp: simple-code symbol out of range (alphabet {alphabet_size})"
+            )
         return _Decoder.simple(symbols)
     num_code_lengths = 4 + br.read(4)
     cl_lengths = [0] * 19
@@ -406,6 +428,100 @@ def _prefix_value(code: int, br: _BitReader) -> int:
     extra = (code - 2) >> 1
     offset = (2 + (code & 1)) << extra
     return offset + br.read(extra) + 1
+
+
+# ------------------------------------------- vectorized literal decode
+
+# tests can pin the per-pixel reference loop by flipping this off
+FAST_LITERAL = True
+_PEEK = 15  # spec-maximal code length — one LUT covers every code
+
+
+def _lut_from_code_map(code_map: dict[int, tuple[int, int]]):
+    """(sym, len) LUTs over every 15-bit stream window. Window bit j
+    (LSB-first stream order) is the j-th bit the bit-reader would
+    deliver, i.e. code bit (len-1-j) — so each (code, len) fills the
+    2^(15-len) windows whose low ``len`` bits are the code reversed."""
+    sym_lut = np.zeros(1 << _PEEK, dtype=np.int32)
+    len_lut = np.zeros(1 << _PEEK, dtype=np.int32)
+    for s, (code, ln) in code_map.items():
+        base = 0
+        for j in range(ln):
+            base |= ((code >> (ln - 1 - j)) & 1) << j
+        idx = base + (np.arange(1 << (_PEEK - ln), dtype=np.int64) << ln)
+        sym_lut[idx] = s
+        len_lut[idx] = ln
+    return sym_lut, len_lut
+
+
+def _literal_decode_fast(
+    stream: bytes, start_bit: int, n: int, decoders
+) -> np.ndarray:
+    """Decode ``n`` literal pixels (no LZ77, no color cache) starting
+    at ``start_bit`` — fully vectorized, no per-pixel Python loop.
+
+    Variable-length prefix codes have a sequential data dependency, so
+    instead of walking the stream we decode SPECULATIVELY at every bit
+    position (one LUT gather per channel, complete codes guarantee
+    every window decodes to something), build the per-position
+    "position after one whole pixel" map f, and recover the true pixel
+    start positions by pointer doubling over f — log2(n) gathers
+    replace the n-iteration loop. Positions are monotone increasing,
+    so one final bound check catches any speculative overrun of the
+    stream (equivalent to the bit-reader's truncation error).
+
+    ``decoders`` is the stream-ordered [green, red, blue, alpha] list;
+    single-symbol channels consume zero bits and appear only as
+    constants. Returns (n, 4) uint8 rows in R, G, B, A column order.
+    """
+    bits = np.unpackbits(np.frombuffer(stream, dtype=np.uint8), bitorder="little")
+    nbits = bits.size
+    if start_bit > nbits:
+        raise ValueError("webp: truncated VP8L bitstream")
+    pad = 4 * _PEEK + 1  # one pixel's worst case past the end
+    M = nbits + pad
+    bitsp = np.concatenate([bits, np.zeros(pad + _PEEK, dtype=np.uint8)])
+    peek = np.zeros(M, dtype=np.int32)
+    for j in range(_PEEK):
+        peek |= bitsp[j : j + M].astype(np.int32) << j
+    # per-channel speculative (symbol, advance) at every bit position
+    chans: list[tuple] = []  # (sym_at | None, len_at | None, const)
+    limit = M - 1
+    for dec in decoders:
+        if len(dec.code_map) == 1:
+            chans.append((None, None, next(iter(dec.code_map))))
+            continue
+        sym_lut, len_lut = _lut_from_code_map(dec.code_map)
+        chans.append((sym_lut[peek], len_lut[peek], None))
+    # f[p] = position after decoding one full pixel starting at p
+    q = np.arange(M, dtype=np.int32)
+    for sym_at, len_at, const in chans:
+        if const is None:
+            q = np.minimum(q + len_at[np.minimum(q, limit)], limit)
+    # pointer doubling: P[k:2k] = (k-pixel transition)[P[:k]]
+    P = np.empty(n, dtype=np.int32)
+    P[0] = min(start_bit, limit)
+    filled = 1
+    jump = q
+    while filled < n:
+        take = min(filled, n - filled)
+        P[filled : filled + take] = jump[P[:take]]
+        filled += take
+        if filled < n:
+            jump = jump[np.minimum(jump, limit)]
+    out = np.empty((n, 4), dtype=np.uint8)
+    col_of = (1, 0, 2, 3)  # stream order g,r,b,a -> columns R,G,B,A
+    pos = P.astype(np.int64)
+    for ci, (sym_at, len_at, const) in enumerate(chans):
+        if const is not None:
+            out[:, col_of[ci]] = const
+            continue
+        pc = np.minimum(pos, limit)
+        out[:, col_of[ci]] = sym_at[pc]
+        pos = pos + len_at[pc]
+    if int(pos[-1]) > nbits:
+        raise ValueError("webp: truncated VP8L bitstream")
+    return out
 
 
 def decode_webp(data: bytes) -> np.ndarray:
@@ -458,6 +574,17 @@ def decode_webp(data: bytes) -> np.ndarray:
     alpha_dec = _read_prefix_code(br, 256)
     dist_dec = _read_prefix_code(br, 40)
     n = w * h
+    if (
+        FAST_LITERAL
+        and cache_bits == 0
+        and all(s < 256 for s in green_dec.code_map)
+    ):
+        # literal-only stream (no cache, green code carries no LZ77
+        # length symbols) — every own-encoded file: vectorized path
+        out = _literal_decode_fast(
+            payload[1:], br.pos, n, (green_dec, red_dec, blue_dec, alpha_dec)
+        )
+        return _finish(out, subtract_green, h, w)
     out = np.empty((n, 4), dtype=np.uint8)  # R, G, B, A
     cache = np.zeros((cache_size, 4), dtype=np.uint8) if cache_size else None
     pos = 0
@@ -498,6 +625,17 @@ def decode_webp(data: bytes) -> np.ndarray:
             continue  # cache hits re-insert the same value: no-op
         if cache is not None:
             _cache_insert(cache, cache_bits, out[px])
+    return _finish(out, subtract_green, h, w)
+
+
+def _finish(out: np.ndarray, subtract_green: bool, h: int, w: int) -> np.ndarray:
+    # the module contract promises loud out-of-subset failure — a
+    # conformant stream with real per-pixel alpha must not silently
+    # decode to RGB with the channel dropped (ADVICE r06)
+    if np.any(out[:, 3] != 255):
+        raise NotImplementedError(
+            "webp: non-opaque alpha unsupported (RGB-only subset)"
+        )
     if subtract_green:
         g16 = out[:, 1].astype(np.int16)
         out[:, 0] = ((out[:, 0].astype(np.int16) + g16) & 255).astype(np.uint8)

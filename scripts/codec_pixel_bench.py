@@ -1,0 +1,56 @@
+"""Per-pixel decode cost across the codec matrix (VERDICT r06 #4).
+
+Measures µs/pixel for every own codec (png, qjpg, real JPEG, webp
+VP8L fast + reference-loop paths) on synth images at two sizes, so
+the cost of each format in the payload-drain parse map is a
+documented number rather than a guess.
+
+Usage: python scripts/codec_pixel_bench.py
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np  # noqa: E402
+
+from crawlspark import imagecodec, webpcodec  # noqa: E402
+
+
+def best_us_per_px(fn, n_px: int, reps: int = 5) -> float:
+    ts = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        fn()
+        ts.append(time.perf_counter() - t0)
+    return min(ts) * 1e6 / n_px
+
+
+def main():
+    rows = []
+    for w, h in ((64, 48), (192, 128)):
+        arr = imagecodec.synth_image(f"bench-{w}", w, h)
+        n = w * h
+        blobs = {fmt: imagecodec.encode(arr, fmt) for fmt in ("png", "qjpg", "jpeg", "webp")}
+        for fmt in ("png", "qjpg", "jpeg"):
+            rows.append((f"{fmt}", f"{w}x{h}",
+                         best_us_per_px(lambda f=fmt: imagecodec.decode(blobs[f], f), n)))
+        webpcodec.FAST_LITERAL = True
+        rows.append(("webp (vectorized)", f"{w}x{h}",
+                     best_us_per_px(lambda: webpcodec.decode_webp(blobs["webp"]), n)))
+        webpcodec.FAST_LITERAL = False
+        rows.append(("webp (reference loop)", f"{w}x{h}",
+                     best_us_per_px(lambda: webpcodec.decode_webp(blobs["webp"]), n)))
+        webpcodec.FAST_LITERAL = True
+    print("| codec | size | decode µs/pixel |")
+    print("|---|---|---|")
+    for name, size, us in rows:
+        print(f"| {name} | {size} | {us:.2f} |")
+
+
+if __name__ == "__main__":
+    main()

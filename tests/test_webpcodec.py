@@ -292,3 +292,94 @@ def test_imagecodec_dispatch_and_fixture_slice():
     for r in webp_rows.itertuples(index=False):
         truth = imagecodec.synth_image(r.image_id, r.w, r.h)
         assert np.array_equal(imagecodec.decode(bytes(r.bytes), "webp"), truth)
+
+
+def test_fast_path_equals_reference_loop(monkeypatch):
+    """The vectorized literal decoder must be BIT-identical to the
+    per-pixel reference loop on every own-encodable shape, including
+    the channel-constant images that regress single-symbol handling
+    and 1-pixel/1-row extremes (FAST_LITERAL toggles the path)."""
+    rng = np.random.default_rng(77)
+    shapes = [(1, 1), (1, 17), (23, 1), (5, 7), (16, 16), (3, 64)]
+    imgs = [rng.integers(0, 256, (h, w, 3), dtype=np.uint8) for h, w in shapes]
+    imgs.append(np.full((9, 9, 3), 200, np.uint8))  # channel-constant
+    solid = np.zeros((4, 4, 3), np.uint8)
+    solid[..., 1] = 255
+    imgs.append(solid)
+    for arr in imgs:
+        for sg in (True, False):
+            blob = encode_webp(arr, subtract_green=sg)
+            monkeypatch.setattr(W, "FAST_LITERAL", True)
+            fast = decode_webp(blob)
+            monkeypatch.setattr(W, "FAST_LITERAL", False)
+            slow = decode_webp(blob)
+            assert np.array_equal(fast, slow)
+            assert np.array_equal(fast, arr)
+
+
+def test_fast_path_engages_and_rejects_truncation(monkeypatch):
+    """Own-encoded files actually take the vectorized path, and a
+    truncated stream raises there just like the bit-reader does."""
+    calls = []
+    orig = W._literal_decode_fast
+
+    def spy(*a, **k):
+        calls.append(1)
+        return orig(*a, **k)
+
+    monkeypatch.setattr(W, "_literal_decode_fast", spy)
+    arr = np.random.default_rng(3).integers(0, 256, (12, 12, 3), dtype=np.uint8)
+    blob = encode_webp(arr)
+    assert np.array_equal(decode_webp(blob), arr)
+    assert calls, "fast path did not engage on an own-encoded file"
+    import struct
+
+    cut = len(blob) - 12
+    truncated = blob[:20] + blob[20:cut]
+    # keep the VP8L chunk length honest about the cut so the chunk
+    # check doesn't fire first
+    truncated = (
+        truncated[:16] + struct.pack("<I", cut - 20) + truncated[20:]
+    )
+    with pytest.raises(ValueError, match="truncated"):
+        decode_webp(truncated)
+    monkeypatch.setattr(W, "FAST_LITERAL", False)
+    with pytest.raises(ValueError, match="truncated"):
+        decode_webp(truncated)
+
+
+def test_alpha_channel_rejected_loudly(monkeypatch):
+    """A conformant stream carrying non-opaque alpha must raise, not
+    silently drop the channel (ADVICE r06) — on both decode paths."""
+    for fast in (True, False):
+        monkeypatch.setattr(W, "FAST_LITERAL", fast)
+        bw = W._BitWriter()
+        _header(bw, 2, 2)
+        bw.write(0, 1)  # no transforms
+        bw.write(0, 1)  # no cache
+        bw.write(0, 1)  # no meta prefix
+        _write_simple_code(bw, [10])  # green
+        _write_simple_code(bw, [20])  # red
+        _write_simple_code(bw, [30])  # blue
+        _write_simple_code(bw, [128])  # alpha: constant but NOT opaque
+        _write_simple_code(bw, [0])  # distance (unused)
+        with pytest.raises(NotImplementedError, match="alpha"):
+            decode_webp(_container(bw))
+
+
+def test_simple_code_symbol_out_of_alphabet_rejected():
+    """A corrupt simple code declaring symbol 200 in the 40-symbol
+    distance alphabet must fail at parse time (ADVICE r06), not via a
+    garbage distance far downstream."""
+    bw = W._BitWriter()
+    _header(bw, 1, 1)
+    bw.write(0, 1)
+    bw.write(0, 1)
+    bw.write(0, 1)
+    _write_simple_code(bw, [10])
+    _write_simple_code(bw, [20])
+    _write_simple_code(bw, [30])
+    _write_simple_code(bw, [255])
+    _write_simple_code(bw, [200])  # distance alphabet is 40 symbols
+    with pytest.raises(ValueError, match="out of range"):
+        decode_webp(_container(bw))
