@@ -678,7 +678,16 @@ def _fast_extract(s: str) -> dict:
                 if tag == "meta" or tag == "link":
                     attrs = {}
                     if araw:
+                        # tiling check: _TAG_ATTR must consume araw
+                        # gaplessly or the two grammars have drifted —
+                        # fall back loudly instead of silently
+                        # diverging from the tree path (ADVICE r06;
+                        # test_purecore also pins the patterns equal)
+                        apos = 0
                         for am in _TAG_ATTR.finditer(araw):
+                            if am.start() != apos:
+                                raise _Fallback
+                            apos = am.end()
                             name, _, dq, sq, unq = am.groups()
                             val = dq if dq is not None else (sq if sq is not None else unq)
                             if val is not None and "&" in val:
@@ -686,6 +695,8 @@ def _fast_extract(s: str) -> dict:
                             if not name.islower():
                                 name = name.lower()
                             attrs[name] = val  # dup attr: last wins
+                        if apos != len(araw):
+                            raise _Fallback
                     if tag == "meta":
                         nm = attrs.get("name", _MISSING)
                         if nm is not _MISSING:

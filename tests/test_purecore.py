@@ -267,6 +267,64 @@ def _gen_corpus():
     return corpus
 
 
+def test_attr_grammars_are_structurally_identical():
+    """_ATTR_GRAMMAR (the repetition closure shared by _TAG_START and
+    the fused anchor patterns) and _TAG_ATTR (the per-attr capture
+    pattern the extraction loops finditer with) must stay the SAME
+    grammar: _ATTR_GRAMMAR == '(?:' + decapture(_TAG_ATTR) + ')*'.
+    The meta/link path keeps a runtime tiling check, but pattern
+    drift should fail CI structurally too (ADVICE r06). Compared as
+    parsed regex trees (capture-group wrappers spliced out), so
+    redundant (?:...) grouping can't cause a false mismatch."""
+    import re._parser as sre
+
+    def norm(sub):
+        out = []
+        for op, av in sub:
+            op = str(op)
+            if op == "SUBPATTERN":  # (num, add_flags, del_flags, p)
+                out.extend(norm(av[3]))
+            elif op in ("MAX_REPEAT", "MIN_REPEAT"):
+                lo, hi, inner = av
+                out.append((op, (lo, str(hi), tuple(norm(inner)))))
+            elif op == "BRANCH":
+                out.append((op, tuple(tuple(norm(b)) for b in av[1])))
+            elif op == "IN":
+                out.append((op, tuple(
+                    (str(o), tuple(v) if isinstance(v, tuple) else v)
+                    for o, v in av)))
+            else:
+                out.append((op, av))
+        return out
+
+    grammar = norm(sre.parse(htmlex._ATTR_GRAMMAR))
+    # the grammar is exactly one Kleene closure of the per-attr unit
+    assert len(grammar) == 1 and grammar[0][0] == "MAX_REPEAT"
+    lo, hi, unit = grammar[0][1]
+    assert (lo, hi) == (0, "MAXREPEAT")
+    assert unit == tuple(norm(sre.parse(htmlex._TAG_ATTR.pattern)))
+
+
+def test_meta_link_attr_tiling_falls_back_loudly():
+    """If _TAG_ATTR leaves a gap or tail in a meta/link attr string,
+    the fused path must raise _Fallback, not silently drop attrs."""
+    doc = ('<html><head><meta name="robots" content="noindex">'
+           "</head><body></body></html>")
+    tree = htmlex._extract_from_tree(htmlex.parse_tree_slow(doc))
+    assert htmlex._fast_extract(doc) == tree
+    orig = htmlex._TAG_ATTR
+    try:
+        # a deliberately-drifted per-attr pattern that skips name=
+        # pairs entirely: every attr string becomes a gap
+        import re
+
+        htmlex._TAG_ATTR = re.compile(r"\s+(xyzzy)()()()()")
+        with pytest.raises(htmlex._Fallback):
+            htmlex._fast_extract(doc)
+    finally:
+        htmlex._TAG_ATTR = orig
+
+
 def test_fast_extract_differential():
     """The fused single-pass extractor must produce the IDENTICAL
     extraction dict the tree path produces, or fall back — never
