@@ -37,6 +37,9 @@ HOT = int(os.environ.get("CRAWLSPARK_SCALE_HOT", "3"))
 # evidence run (VERDICT r05 #4) sets this to "cuckoo" and records
 # throughput + overflowed-shard count next to the bloom number
 SEEN_FILTER = os.environ.get("CRAWLSPARK_SCALE_SEEN_FILTER", "bloom")
+# per-host politeness budget for the production-path evidence leg
+# (VERDICT r06 #5): 0 = unbudgeted (default)
+BUDGET = int(os.environ.get("CRAWLSPARK_SCALE_BUDGET", "0"))
 # N for the N-vs-4N pair. NOTE this sandbox VM throttles per-core
 # throughput ~30-36% when >8-16 cores are busy (measured with plain
 # multiprocessing, no Spark — see BASELINE.md), so N=2 -> 4N=8 stays
@@ -99,6 +102,7 @@ def single_run(cpus: int) -> dict:
         parse_partitions=parse_parts,
         detailed_metrics=False,
         seen_filter=SEEN_FILTER,
+        per_host_budget=BUDGET or None,
     )
     crawler = SparkCrawler(
         spark, cfg, pages, robots,
@@ -114,9 +118,11 @@ def single_run(cpus: int) -> dict:
     expected = benchgen.expected_counts(N_HOSTS, BRANCHING, DEPTH, HOT)
     assert fetched == expected, (fetched, expected)
     spark.stop()
+    subwaves = sum(m.get("subwaves", 0) for m in crawler.store.metrics())
     return {"cpus": cpus, "seconds": round(secs, 2), "fetched": fetched,
             "urls_per_sec": round(fetched / secs, 1),
-            "seen_filter": SEEN_FILTER, "overflow_shards": overflow}
+            "seen_filter": SEEN_FILTER, "overflow_shards": overflow,
+            "per_host_budget": BUDGET or None, "subwaves": subwaves}
 
 
 def main():
