@@ -18,8 +18,10 @@ spec-compliant stream: any conformant WebP decoder reads it.
 Decoder (``decode_webp``): the same subset plus what foreign simple
 streams may add on top of it — color cache, LZ77 with 1D distance
 codes (plane code > 120), the subtract-green transform, the
-max_symbol cutoff, and RLE code lengths (16/17/18). Out-of-subset
-features fail LOUDLY with the reason (lossy VP8, VP8X container,
+max_symbol cutoff, and RLE code lengths (16/17/18), in a simple
+(VP8L) or extended (VP8X still image, r7) container — pixel-neutral
+VP8X metadata chunks (ICCP/EXIF/XMP) are skipped. Out-of-subset
+features fail LOUDLY with the reason (lossy VP8/ALPH, animated VP8X,
 predictor / cross-color / color-indexing transforms, meta prefix
 codes, 2D distance plane codes ≤ 120, non-opaque alpha) — never a
 silent wrong decode.
@@ -525,23 +527,70 @@ def _literal_decode_fast(
 
 
 def decode_webp(data: bytes) -> np.ndarray:
-    """Lossless WebP (VP8L) -> (h, w, 3) uint8 RGB. Simple-profile
-    subset (module docstring) — out-of-subset features raise with the
-    reason, never decode wrong."""
+    """WebP container -> (h, w, 3) uint8 RGB. Accepts a simple-format
+    VP8L file or an extended (VP8X) still image whose bitstream is
+    VP8L — pixel-neutral metadata chunks (ICCP/EXIF/XMP) are skipped.
+    Out-of-subset features (module docstring) raise with the reason,
+    never decode wrong."""
     if len(data) < 20 or data[:4] != b"RIFF" or data[8:12] != b"WEBP":
         raise ValueError("webp: not a RIFF/WEBP container")
     fourcc = data[12:16]
     if fourcc == b"VP8 ":
         raise NotImplementedError("webp: lossy VP8 payload unsupported (VP8L only)")
     if fourcc == b"VP8X":
-        raise NotImplementedError("webp: extended (VP8X) container unsupported")
+        return _decode_vp8x(data)
     if fourcc != b"VP8L":
         raise ValueError(f"webp: unknown chunk {fourcc!r}")
     (chunk_len,) = struct.unpack("<I", data[16:20])
     payload = data[20 : 20 + chunk_len]
     if len(payload) < chunk_len:
         raise ValueError("webp: truncated VP8L chunk")
-    if payload[0] != 0x2F:
+    return _decode_vp8l(payload)
+
+
+def _decode_vp8x(data: bytes) -> np.ndarray:
+    """Extended-format (RFC 9649 section 2.5/2.7) still image: walk
+    the chunk sequence after the VP8X header to the VP8L bitstream.
+    Animation, fragments, and lossy (VP8/ALPH) payloads raise."""
+    (vx_len,) = struct.unpack("<I", data[16:20])
+    if vx_len != 10 or len(data) < 30:
+        raise ValueError("webp: bad VP8X chunk length")
+    flags = data[20]
+    if flags & 0x02:
+        raise NotImplementedError("webp: animated (ANIM) webp unsupported")
+    canvas_w = int.from_bytes(data[24:27], "little") + 1
+    canvas_h = int.from_bytes(data[27:30], "little") + 1
+    off = 30  # VP8X payload is 10 bytes (even: no pad)
+    while off + 8 <= len(data):
+        fc = data[off : off + 4]
+        (sz,) = struct.unpack("<I", data[off + 4 : off + 8])
+        body = data[off + 8 : off + 8 + sz]
+        if len(body) < sz:
+            raise ValueError(f"webp: truncated {fc!r} chunk")
+        if fc == b"VP8L":
+            arr = _decode_vp8l(body)
+            if arr.shape[0] != canvas_h or arr.shape[1] != canvas_w:
+                raise ValueError(
+                    "webp: VP8X canvas size does not match VP8L bitstream"
+                )
+            return arr
+        if fc == b"VP8 ":
+            raise NotImplementedError(
+                "webp: lossy VP8 payload unsupported (VP8L only)"
+            )
+        if fc == b"ALPH":
+            raise NotImplementedError("webp: ALPH (lossy-alpha) unsupported")
+        if fc in (b"ICCP", b"EXIF", b"XMP "):
+            # pixel-neutral metadata: skipping cannot change decoded
+            # values (ICC affects display rendering, not samples)
+            off += 8 + sz + (sz & 1)
+            continue
+        raise ValueError(f"webp: unknown chunk {fc!r} in VP8X container")
+    raise ValueError("webp: VP8X container has no image bitstream chunk")
+
+
+def _decode_vp8l(payload: bytes) -> np.ndarray:
+    if not payload or payload[0] != 0x2F:
         raise ValueError("webp: bad VP8L signature byte")
     br = _BitReader(payload[1:])
     w = br.read(14) + 1

@@ -244,7 +244,8 @@ def test_rejects_out_of_subset_loudly():
         decode_webp(b"RIFX" + good[4:])
     with pytest.raises(NotImplementedError, match="lossy VP8"):
         decode_webp(good[:12] + b"VP8 " + good[16:])
-    with pytest.raises(NotImplementedError, match="VP8X"):
+    # fourcc says VP8X but the chunk length is the VP8L one, not 10
+    with pytest.raises(ValueError, match="VP8X chunk length"):
         decode_webp(good[:12] + b"VP8X" + good[16:])
     # predictor transform
     for ttype, msg in ((0, "predictor"), (1, "cross-color"), (3, "color-indexing")):
@@ -383,3 +384,99 @@ def test_simple_code_symbol_out_of_alphabet_rejected():
     _write_simple_code(bw, [200])  # distance alphabet is 40 symbols
     with pytest.raises(ValueError, match="out of range"):
         decode_webp(_container(bw))
+
+
+# ------------------------------------------------------ VP8X container
+
+
+def _vp8x_wrap(blob: bytes, canvas_w: int, canvas_h: int,
+               flags: int = 0, pre_chunks: bytes = b"") -> bytes:
+    """Rewrap a simple-format VP8L file as an extended (VP8X) still."""
+    import struct
+
+    vp8l = blob[12:]  # fourcc + length + payload (+ even pad)
+    vx = (b"VP8X" + struct.pack("<I", 10) + bytes([flags]) + b"\x00\x00\x00"
+          + (canvas_w - 1).to_bytes(3, "little")
+          + (canvas_h - 1).to_bytes(3, "little"))
+    body = b"WEBP" + vx + pre_chunks + vp8l
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def test_vp8x_wrapped_vp8l_decodes():
+    """An extended-format still image with a VP8L bitstream is a
+    conformant file shape (RFC 9649 section 2.5) — decode it, on both
+    decode paths, with and without pixel-neutral metadata chunks."""
+    import struct
+
+    rng = np.random.default_rng(42)
+    arr = rng.integers(0, 256, (11, 7, 3), dtype=np.uint8)
+    blob = encode_webp(arr)
+    iccp = b"ICCP" + struct.pack("<I", 3) + b"abc" + b"\x00"  # odd: padded
+    xmp = b"XMP " + struct.pack("<I", 4) + b"meta"
+    for pre in (b"", iccp, iccp + xmp):
+        wrapped = _vp8x_wrap(blob, 7, 11, pre_chunks=pre)
+        assert np.array_equal(decode_webp(wrapped), arr)
+    # reference loop path too
+    orig = W.FAST_LITERAL
+    try:
+        W.FAST_LITERAL = False
+        assert np.array_equal(decode_webp(_vp8x_wrap(blob, 7, 11)), arr)
+    finally:
+        W.FAST_LITERAL = orig
+
+
+def test_vp8x_out_of_subset_rejections():
+    import struct
+
+    arr = np.full((4, 4, 3), 9, np.uint8)
+    blob = encode_webp(arr)
+    # canvas/bitstream size mismatch is corrupt, not acceptable
+    with pytest.raises(ValueError, match="canvas"):
+        decode_webp(_vp8x_wrap(blob, 5, 4))
+    # animation flag
+    with pytest.raises(NotImplementedError, match="animated"):
+        decode_webp(_vp8x_wrap(blob, 4, 4, flags=0x02))
+    # lossy alpha chunk before the bitstream
+    alph = b"ALPH" + struct.pack("<I", 2) + b"\x00\x00"
+    with pytest.raises(NotImplementedError, match="ALPH"):
+        decode_webp(_vp8x_wrap(blob, 4, 4, pre_chunks=alph))
+    # unknown chunk fails loudly rather than being skipped
+    junk = b"JUNK" + struct.pack("<I", 2) + b"zz"
+    with pytest.raises(ValueError, match="unknown chunk"):
+        decode_webp(_vp8x_wrap(blob, 4, 4, pre_chunks=junk))
+    # truncated metadata chunk
+    cut = b"EXIF" + struct.pack("<I", 40) + b"short"
+    with pytest.raises(ValueError, match="truncated"):
+        decode_webp(_vp8x_wrap(blob, 4, 4, pre_chunks=cut))
+    # no image chunk at all
+    wrapped = _vp8x_wrap(blob, 4, 4)
+    no_image = wrapped[:30]
+    no_image = no_image[:4] + struct.pack("<I", len(no_image) - 8) + no_image[8:]
+    with pytest.raises(ValueError, match="no image"):
+        decode_webp(no_image)
+
+
+def test_decoder_fuzz_raises_cleanly():
+    """decode_webp on arbitrary garbage and on bit-flipped valid files
+    must raise ValueError/NotImplementedError — never IndexError,
+    KeyError, struct.error, or a silent wrong shape."""
+    rng = np.random.default_rng(1234)
+    ok_kinds = (ValueError, NotImplementedError)
+    for _ in range(200):
+        n = int(rng.integers(0, 200))
+        blob = rng.integers(0, 256, n, dtype=np.uint8).tobytes()
+        try:
+            decode_webp(blob)
+        except ok_kinds:
+            pass
+    arr = rng.integers(0, 256, (9, 13, 3), dtype=np.uint8)
+    good = encode_webp(arr)
+    for _ in range(300):
+        b = bytearray(good)
+        for _ in range(int(rng.integers(1, 4))):
+            b[int(rng.integers(0, len(b)))] ^= 1 << int(rng.integers(0, 8))
+        try:
+            out = decode_webp(bytes(b))
+            assert out.dtype == np.uint8 and out.ndim == 3 and out.shape[2] == 3
+        except ok_kinds:
+            pass
