@@ -88,6 +88,9 @@ def with_shard_cols(df: DataFrame, url_col: str, cfg: BloomConfig) -> DataFrame:
 
 def probe(candidates: DataFrame, bits_df: DataFrame, url_col: str, cfg: BloomConfig) -> DataFrame:
     """Adds boolean ``_maybe_seen``. Distributed per-shard cogroup."""
+    from .shipping import ensure_shipped_df
+
+    ensure_shipped_df(candidates)  # _probe refs module helpers; see shipping.py
     cand = with_shard_cols(candidates, url_col, cfg)
     out_schema = T.StructType(cand.schema.fields + [T.StructField("_maybe_seen", T.BooleanType())])
     n_hashes, m_bits = cfg.n_hashes, cfg.bits_per_shard
@@ -112,6 +115,9 @@ def probe(candidates: DataFrame, bits_df: DataFrame, url_col: str, cfg: BloomCon
 def mark(new_urls: DataFrame, bits_df: DataFrame, url_col: str, cfg: BloomConfig) -> DataFrame:
     """Returns the updated bits table (all shards, including untouched
     ones) after setting the bits of every url in ``new_urls``."""
+    from .shipping import ensure_shipped_df
+
+    ensure_shipped_df(new_urls)  # _mark refs module helpers; see shipping.py
     urls = with_shard_cols(new_urls.select(url_col), url_col, cfg)
     n_hashes, m_bits = cfg.n_hashes, cfg.bits_per_shard
 

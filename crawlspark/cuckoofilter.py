@@ -107,6 +107,9 @@ def _dump(overflow: bool, table: np.ndarray) -> bytes:
 def probe(candidates: DataFrame, bits_df: DataFrame, url_col: str, cfg: CuckooConfig) -> DataFrame:
     """Adds boolean ``_maybe_seen`` (same contract as bloomfilter:
     False is definitive, True needs the exact anti-join)."""
+    from .shipping import ensure_shipped_df
+
+    ensure_shipped_df(candidates)  # _probe refs module helpers; see shipping.py
     cand = with_shard_cols(candidates, url_col, cfg)
     out_schema = T.StructType(
         cand.schema.fields + [T.StructField("_maybe_seen", T.BooleanType())]
@@ -136,6 +139,9 @@ def probe(candidates: DataFrame, bits_df: DataFrame, url_col: str, cfg: CuckooCo
 
 def mark(new_urls: DataFrame, bits_df: DataFrame, url_col: str, cfg: CuckooConfig) -> DataFrame:
     """Returns the updated state table after inserting every url."""
+    from .shipping import ensure_shipped_df
+
+    ensure_shipped_df(new_urls)  # _mark refs module helpers; see shipping.py
     urls = with_shard_cols(new_urls.select(url_col), url_col, cfg)
     n_buckets = cfg.buckets_per_shard
 
@@ -217,6 +223,9 @@ def delete(urls: DataFrame, bits_df: DataFrame, url_col: str, cfg: CuckooConfig)
     for urls that were actually inserted (standard cuckoo contract);
     deleting from an overflowed shard is a no-op (that shard already
     answers maybe-seen for everything)."""
+    from .shipping import ensure_shipped_df
+
+    ensure_shipped_df(urls)  # _del refs module helpers; see shipping.py
     urls = with_shard_cols(urls.select(url_col), url_col, cfg)
     n_buckets = cfg.buckets_per_shard
 

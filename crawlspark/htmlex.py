@@ -480,9 +480,19 @@ def _anchor_attrs_walk(araw: str) -> tuple[str | None, str | None]:
     (lowercase names, dup-attr last wins) shared by the fused-anchor
     branch and the _A_RUN loop; callers inline the fast match and the
     final unescape (hot loop: an extra call per anchor measures ~3%
-    of the parse row)."""
+    of the parse row).
+
+    Same gapless-tiling guard as the tree walk and the meta/link
+    branch: _TAG_ATTR must consume araw exactly or the _A_FULL /
+    _ATTR_GRAMMAR pair has drifted — fall back loudly rather than
+    silently feeding a wrong/missing href into the frontier
+    (ADVICE r06 pattern, completed here in r7)."""
     a_href = a_rel = None
+    apos = 0
     for am in _TAG_ATTR.finditer(araw):
+        if am.start() != apos:
+            raise _Fallback
+        apos = am.end()
         name, _, dq, sq, unq = am.groups()
         val = dq if dq is not None else (sq if sq is not None else unq)
         if not name.islower():
@@ -491,6 +501,8 @@ def _anchor_attrs_walk(araw: str) -> tuple[str | None, str | None]:
             a_href = val  # dup attr: last wins
         elif name == "rel":
             a_rel = val
+    if apos != len(araw):
+        raise _Fallback
     return a_href, a_rel
 
 

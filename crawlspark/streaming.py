@@ -171,6 +171,10 @@ def stateful_host_counter(
     import pandas as pd
     from pyspark.sql.streaming.state import GroupStateTimeout
 
+    from .shipping import ensure_shipped
+
+    ensure_shipped(spark)  # UDF-creating entry point; see shipping.py
+
     stream = (
         spark.readStream.schema(schema or RESULT_FULL_SCHEMA)
         .option("maxFilesPerTrigger", str(max_files_per_trigger))

@@ -476,10 +476,30 @@ def _literal_decode_fast(
     single-symbol channels consume zero bits and appear only as
     constants. Returns (n, 4) uint8 rows in R, G, B, A column order.
     """
-    bits = np.unpackbits(np.frombuffer(stream, dtype=np.uint8), bitorder="little")
-    nbits = bits.size
+    nbits = len(stream) * 8
     if start_bit > nbits:
         raise ValueError("webp: truncated VP8L bitstream")
+    # plausibility gate BEFORE the O(n) allocations: every pixel costs
+    # at least the sum of the non-constant channels' shortest codes,
+    # so a tiny corrupt stream declaring a huge w*h raises here in
+    # O(1) instead of allocating/touching gigabytes first (the
+    # per-pixel reference loop gets this for free from its bit reader)
+    min_bits = sum(
+        min(ln for _c, ln in dec.code_map.values())
+        for dec in decoders
+        if len(dec.code_map) > 1
+    )
+    if min_bits == 0:
+        # all four channels are single-symbol zero-bit codes: the
+        # image is constant — emit it directly (no stream bits read)
+        out = np.empty((n, 4), dtype=np.uint8)
+        col_of = (1, 0, 2, 3)
+        for ci, dec in enumerate(decoders):
+            out[:, col_of[ci]] = next(iter(dec.code_map))
+        return out
+    if start_bit + n * min_bits > nbits:
+        raise ValueError("webp: truncated VP8L bitstream")
+    bits = np.unpackbits(np.frombuffer(stream, dtype=np.uint8), bitorder="little")
     pad = 4 * _PEEK + 1  # one pixel's worst case past the end
     M = nbits + pad
     bitsp = np.concatenate([bits, np.zeros(pad + _PEEK, dtype=np.uint8)])

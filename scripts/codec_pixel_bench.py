@@ -39,13 +39,15 @@ def main():
         for fmt in ("png", "qjpg", "jpeg"):
             rows.append((f"{fmt}", f"{w}x{h}",
                          best_us_per_px(lambda f=fmt: imagecodec.decode(blobs[f], f), n)))
-        webpcodec.FAST_LITERAL = True
-        rows.append(("webp (vectorized)", f"{w}x{h}",
-                     best_us_per_px(lambda: webpcodec.decode_webp(blobs["webp"]), n)))
-        webpcodec.FAST_LITERAL = False
-        rows.append(("webp (reference loop)", f"{w}x{h}",
-                     best_us_per_px(lambda: webpcodec.decode_webp(blobs["webp"]), n)))
-        webpcodec.FAST_LITERAL = True
+        try:
+            webpcodec.FAST_LITERAL = True
+            rows.append(("webp (vectorized)", f"{w}x{h}",
+                         best_us_per_px(lambda: webpcodec.decode_webp(blobs["webp"]), n)))
+            webpcodec.FAST_LITERAL = False
+            rows.append(("webp (reference loop)", f"{w}x{h}",
+                         best_us_per_px(lambda: webpcodec.decode_webp(blobs["webp"]), n)))
+        finally:
+            webpcodec.FAST_LITERAL = True
     print("| codec | size | decode µs/pixel |")
     print("|---|---|---|")
     for name, size, us in rows:

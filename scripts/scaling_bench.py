@@ -111,14 +111,13 @@ def single_run(cpus: int) -> dict:
     t0 = time.time()
     crawler.run()
     secs = time.time() - t0
-    fetched = sum(m.get("fetched", 0) for m in crawler.store.metrics())
-    overflow = sum(
-        m.get("filter_overflow_shards") or 0 for m in crawler.store.metrics()
-    )
+    waves = crawler.store.metrics()  # one manifest-dir parse, three sums
+    fetched = sum(m.get("fetched", 0) for m in waves)
+    overflow = sum(m.get("filter_overflow_shards") or 0 for m in waves)
+    subwaves = sum(m.get("subwaves", 0) for m in waves)
     expected = benchgen.expected_counts(N_HOSTS, BRANCHING, DEPTH, HOT)
     assert fetched == expected, (fetched, expected)
     spark.stop()
-    subwaves = sum(m.get("subwaves", 0) for m in crawler.store.metrics())
     return {"cpus": cpus, "seconds": round(secs, 2), "fetched": fetched,
             "urls_per_sec": round(fetched / secs, 1),
             "seen_filter": SEEN_FILTER, "overflow_shards": overflow,

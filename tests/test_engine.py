@@ -1193,3 +1193,32 @@ def test_bucketed_pages_fetch_join(spark, tmp_path):
         assert "SelectedBucketsCount" in pages_side
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_filter_apis_ship_package_at_definition_time(spark):
+    """bloomfilter/cuckoofilter public APIs build applyInPandas
+    closures that reference module-level helpers (pickled by module
+    REFERENCE), so each must call ensure_shipped ITSELF at frame
+    DEFINITION time — PySpark snapshots the py-files list into the
+    serialized UDF when the frame is built, not when it runs
+    (shipping.py; code-review r7: these were the only UDF-creating
+    entry points missing the call)."""
+    from crawlspark import bloomfilter, cuckoofilter
+
+    sc = spark.sparkContext
+    bcfg = bloomfilter.BloomConfig(n_shards=2, bits_per_shard=1 << 10)
+    ccfg = cuckoofilter.CuckooConfig(n_shards=2, buckets_per_shard=1 << 4)
+    urls = spark.createDataFrame([("http://a/",)], "u string")
+    bbits = spark.createDataFrame([], bloomfilter.BITS_SCHEMA)
+    cbits = spark.createDataFrame([], cuckoofilter.BITS_SCHEMA)
+    calls = [
+        lambda: bloomfilter.probe(urls, bbits, "u", bcfg),
+        lambda: bloomfilter.mark(urls, bbits, "u", bcfg),
+        lambda: cuckoofilter.probe(urls, cbits, "u", ccfg),
+        lambda: cuckoofilter.mark(urls, cbits, "u", ccfg),
+        lambda: cuckoofilter.delete(urls, cbits, "u", ccfg),
+    ]
+    for call in calls:
+        sc._crawlspark_shipped = False
+        call()  # definition alone must ship — no action/execution
+        assert getattr(sc, "_crawlspark_shipped", False)

@@ -704,3 +704,23 @@ def test_qvid_property_roundtrip():
             assert np.array_equal(arr, dec[i])
 
     check()
+
+
+def test_anchor_attrs_walk_tiling_falls_back_loudly():
+    """The general anchor attr walk (_anchor_attrs_walk — the slow
+    shape behind _A_FULL) carries the same gapless-tiling guard as the
+    tree and meta/link walks: if _TAG_ATTR drifts from _ATTR_GRAMMAR
+    it must raise _Fallback, never silently feed a wrong/missing href
+    into the frontier (ADVICE r06, completed r7)."""
+    # valid shapes still walk (incl. dup-attr last-wins)
+    assert htmlex._anchor_attrs_walk(' rel="nofollow" href="/a"') == ("/a", "nofollow")
+    assert htmlex._anchor_attrs_walk(' href="/a" href="/b"') == ("/b", None)
+    orig = htmlex._TAG_ATTR
+    try:
+        import re
+
+        htmlex._TAG_ATTR = re.compile(r"\s+(xyzzy)()()()()")
+        with pytest.raises(htmlex._Fallback):
+            htmlex._anchor_attrs_walk(' href="/a"')
+    finally:
+        htmlex._TAG_ATTR = orig

@@ -480,3 +480,37 @@ def test_decoder_fuzz_raises_cleanly():
             assert out.dtype == np.uint8 and out.ndim == 3 and out.shape[2] == 3
         except ok_kinds:
             pass
+
+
+def test_fast_path_huge_decl_rejected_before_allocation():
+    """A tiny stream whose header declares a huge pixel count must be
+    rejected by the O(1) plausibility gate (min bits/pixel x n vs
+    stream length) BEFORE the O(n) position/output allocations — one
+    adversarial ~30-byte row must not stall an executor touching
+    gigabytes (code-review r7)."""
+    import time
+    from types import SimpleNamespace
+
+    two_sym = SimpleNamespace(code_map={10: (0, 1), 20: (1, 1)})
+    const = SimpleNamespace(code_map={7: (0, 0)})
+    t0 = time.time()
+    with pytest.raises(ValueError, match="truncated"):
+        W._literal_decode_fast(b"\x00" * 16, 0, 1 << 28, [two_sym, const, const, const])
+    assert time.time() - t0 < 0.5, "reject must happen before the O(n) work"
+
+
+def test_fast_path_all_constant_channels_direct():
+    """All-single-symbol channels consume zero bits: the fast path
+    emits the constant image directly (stream content irrelevant),
+    matching the reference loop's zero-bit reads."""
+    from types import SimpleNamespace
+
+    g = SimpleNamespace(code_map={11: (0, 0)})
+    r = SimpleNamespace(code_map={22: (0, 0)})
+    b = SimpleNamespace(code_map={33: (0, 0)})
+    a = SimpleNamespace(code_map={255: (0, 0)})
+    out = W._literal_decode_fast(b"", 0, 5, [g, r, b, a])
+    assert out.shape == (5, 4)
+    # stream order g,r,b,a -> columns R,G,B,A
+    assert (out[:, 0] == 22).all() and (out[:, 1] == 11).all()
+    assert (out[:, 2] == 33).all() and (out[:, 3] == 255).all()
