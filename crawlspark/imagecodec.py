@@ -19,8 +19,9 @@ platforms — which is exactly what the per-row invariant needs
 - ``jpeg`` : a REAL baseline JFIF codec (crawlspark/jpegcodec.py,
              r05) — q98 clears the PSNR>=40 payload gate.
 - ``webp`` : a REAL lossless VP8L codec (crawlspark/webpcodec.py,
-             r06) — spec-compliant simple-profile streams, exact
-             pixel equality on roundtrip.
+             r06; full-spec lossless decode r07 — all transforms,
+             meta prefix codes, color cache, 2D LZ77) — exact pixel
+             equality on roundtrip.
 
 If PIL is available at runtime (not in this container) the loader in
 ``try_pil_decode`` is used for image bytes outside the own-codec
@@ -186,7 +187,7 @@ def decode(data: bytes, fmt: str) -> np.ndarray:
         try:
             return decode_webp(data)
         except NotImplementedError as reason:
-            # out-of-subset webp (lossy VP8, heavy transforms): PIL
+            # out-of-subset webp (lossy VP8, non-opaque alpha): PIL
             # if present, else the codec's specific loud failure
             try:
                 return try_pil_decode(data)

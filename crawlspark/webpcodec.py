@@ -15,16 +15,18 @@ five prefix codes is either a "simple" code (≤2 symbols) or a normal
 code-length-coded canonical prefix code. This is a strictly
 spec-compliant stream: any conformant WebP decoder reads it.
 
-Decoder (``decode_webp``): the same subset plus what foreign simple
-streams may add on top of it — color cache, LZ77 with 1D distance
-codes (plane code > 120), the subtract-green transform, the
-max_symbol cutoff, and RLE code lengths (16/17/18), in a simple
-(VP8L) or extended (VP8X still image, r7) container — pixel-neutral
-VP8X metadata chunks (ICCP/EXIF/XMP) are skipped. Out-of-subset
-features fail LOUDLY with the reason (lossy VP8/ALPH, animated VP8X,
-predictor / cross-color / color-indexing transforms, meta prefix
-codes, 2D distance plane codes ≤ 120, non-opaque alpha) — never a
-silent wrong decode.
+Decoder (``decode_webp``): the FULL VP8L lossless bitstream (r7) —
+all four transforms (predictor with the 14 spatial modes,
+cross-color, subtract-green, color-indexing with pixel bundling),
+meta prefix codes (per-tile entropy groups via the recursive
+entropy-image stream), color cache, LZ77 with both 1D (plane
+code > 120) and 2D (plane code ≤ 120, the spec's 120-entry
+neighborhood offset map) distances, the max_symbol cutoff, and RLE
+code lengths (16/17/18), in a simple (VP8L) or extended (VP8X still
+image) container — pixel-neutral VP8X metadata chunks
+(ICCP/EXIF/XMP) are skipped. The remaining boundaries fail LOUDLY
+with the reason (lossy VP8/ALPH, animated VP8X, non-opaque DECODED
+alpha — the crawl corpus is RGB) — never a silent wrong decode.
 
 Literal-only streams with no color cache (every own-encoded file)
 decode on a fully vectorized numpy path: 15-bit-window LUTs decode
@@ -474,7 +476,10 @@ def _literal_decode_fast(
 
     ``decoders`` is the stream-ordered [green, red, blue, alpha] list;
     single-symbol channels consume zero bits and appear only as
-    constants. Returns (n, 4) uint8 rows in R, G, B, A column order.
+    constants. Returns ((n, 4) uint8 rows in R, G, B, A column order,
+    end bit position) — the caller must advance its bit reader to the
+    end position: sub-resolution images (transform tiles, palettes,
+    entropy images) are followed by more reads in the same stream.
     """
     nbits = len(stream) * 8
     if start_bit > nbits:
@@ -496,7 +501,7 @@ def _literal_decode_fast(
         col_of = (1, 0, 2, 3)
         for ci, dec in enumerate(decoders):
             out[:, col_of[ci]] = next(iter(dec.code_map))
-        return out
+        return out, start_bit
     if start_bit + n * min_bits > nbits:
         raise ValueError("webp: truncated VP8L bitstream")
     bits = np.unpackbits(np.frombuffer(stream, dtype=np.uint8), bitorder="little")
@@ -543,7 +548,7 @@ def _literal_decode_fast(
         pos = pos + len_at[pc]
     if int(pos[-1]) > nbits:
         raise ValueError("webp: truncated VP8L bitstream")
-    return out
+    return out, int(pos[-1])
 
 
 def decode_webp(data: bytes) -> np.ndarray:
@@ -609,55 +614,97 @@ def _decode_vp8x(data: bytes) -> np.ndarray:
     raise ValueError("webp: VP8X container has no image bitstream chunk")
 
 
-def _decode_vp8l(payload: bytes) -> np.ndarray:
-    if not payload or payload[0] != 0x2F:
-        raise ValueError("webp: bad VP8L signature byte")
-    br = _BitReader(payload[1:])
-    w = br.read(14) + 1
-    h = br.read(14) + 1
-    br.read(1)  # alpha hint
-    if br.read(3) != 0:
-        raise ValueError("webp: unknown VP8L version")
-    subtract_green = False
-    while br.read(1):  # transforms
-        ttype = br.read(2)
-        if ttype == 2:
-            subtract_green = True
-        elif ttype == 0:
-            raise NotImplementedError("webp: predictor transform unsupported")
-        elif ttype == 1:
-            raise NotImplementedError("webp: cross-color transform unsupported")
-        else:
-            raise NotImplementedError("webp: color-indexing transform unsupported")
+# 2D LZ77 distance plane (RFC 9649 §4.2.2): distance codes 1..120 map
+# to (xoffset, yoffset) neighborhood offsets; dist = xoffset +
+# yoffset * xsize, clamped to >= 1. Transcribed from the spec table;
+# tests/test_webpcodec.py regenerates it from its generative rule
+# ({(x,y): y=0, 1<=x<=8} ∪ {(x,y): 1<=y<=7, -7<=x<=8}, sorted by
+# (x²+y², -y, +x before -x)) and asserts equality, so a transcription
+# slip fails CI instead of silently mis-decoding a foreign stream.
+_DIST_OFFSETS = (
+    (0, 1), (1, 0), (1, 1), (-1, 1), (0, 2), (2, 0), (1, 2), (-1, 2),
+    (2, 1), (-2, 1), (2, 2), (-2, 2), (0, 3), (3, 0), (1, 3), (-1, 3),
+    (3, 1), (-3, 1), (2, 3), (-2, 3), (3, 2), (-3, 2), (0, 4), (4, 0),
+    (1, 4), (-1, 4), (4, 1), (-4, 1), (3, 3), (-3, 3), (2, 4), (-2, 4),
+    (4, 2), (-4, 2), (0, 5), (3, 4), (-3, 4), (4, 3), (-4, 3), (5, 0),
+    (1, 5), (-1, 5), (5, 1), (-5, 1), (2, 5), (-2, 5), (5, 2), (-5, 2),
+    (4, 4), (-4, 4), (3, 5), (-3, 5), (5, 3), (-5, 3), (0, 6), (6, 0),
+    (1, 6), (-1, 6), (6, 1), (-6, 1), (2, 6), (-2, 6), (6, 2), (-6, 2),
+    (4, 5), (-4, 5), (5, 4), (-5, 4), (3, 6), (-3, 6), (6, 3), (-6, 3),
+    (0, 7), (7, 0), (1, 7), (-1, 7), (5, 5), (-5, 5), (7, 1), (-7, 1),
+    (4, 6), (-4, 6), (6, 4), (-6, 4), (2, 7), (-2, 7), (7, 2), (-7, 2),
+    (3, 7), (-3, 7), (7, 3), (-7, 3), (5, 6), (-5, 6), (6, 5), (-6, 5),
+    (8, 0), (4, 7), (-4, 7), (7, 4), (-7, 4), (8, 1), (8, 2), (6, 6),
+    (-6, 6), (8, 3), (5, 7), (-5, 7), (7, 5), (-7, 5), (8, 4), (6, 7),
+    (-6, 7), (7, 6), (-7, 6), (8, 5), (7, 7), (-7, 7), (8, 6), (8, 7),
+)
+
+
+def _subsample(size: int, bits: int) -> int:
+    return (size + (1 << bits) - 1) >> bits
+
+
+def _read_prefix_group(br: _BitReader, cache_size: int) -> tuple:
+    """One meta-prefix group: the five prefix codes (RFC 9649 §4.3.5)."""
+    return (
+        _read_prefix_code(br, 256 + _NUM_LENGTH_PREFIXES + cache_size),  # green
+        _read_prefix_code(br, 256),  # red
+        _read_prefix_code(br, 256),  # blue
+        _read_prefix_code(br, 256),  # alpha
+        _read_prefix_code(br, 40),  # distance
+    )
+
+
+def _decode_image_stream(
+    br: _BitReader, payload: bytes, w: int, h: int, is_level0: bool
+) -> np.ndarray:
+    """Decode one spatially-coded image (RFC 9649 §4.3.2): color cache
+    info, meta prefix info (level 0 only — sub-resolution images read
+    no meta bit, matching the spec's recursion), prefix code groups,
+    then the literal/LZ77/cache-coded pixel data. Transform reading
+    lives in the caller (_decode_vp8l) — transforms exist only at
+    level 0. Returns flat (n, 4) uint8 rows in R, G, B, A order."""
     cache_bits = 0
     if br.read(1):
         cache_bits = br.read(4)
         if not (1 <= cache_bits <= 11):
             raise ValueError("webp: invalid color-cache size")
-    if br.read(1):
-        raise NotImplementedError("webp: meta prefix codes unsupported")
     cache_size = (1 << cache_bits) if cache_bits else 0
-    green_dec = _read_prefix_code(br, 256 + _NUM_LENGTH_PREFIXES + cache_size)
-    red_dec = _read_prefix_code(br, 256)
-    blue_dec = _read_prefix_code(br, 256)
-    alpha_dec = _read_prefix_code(br, 256)
-    dist_dec = _read_prefix_code(br, 40)
+    group_of = None
+    n_groups = 1
+    meta_tw = meta_bits = 0
+    if is_level0 and br.read(1):  # meta prefix codes
+        meta_bits = br.read(3) + 2
+        meta_tw, meta_th = _subsample(w, meta_bits), _subsample(h, meta_bits)
+        meta = _decode_image_stream(br, payload, meta_tw, meta_th, False)
+        # group index = (red << 8) | green of the entropy-image pixel
+        midx = (meta[:, 0].astype(np.int32) << 8) | meta[:, 1].astype(np.int32)
+        n_groups = int(midx.max()) + 1
+        ys = np.arange(w * h, dtype=np.int64) // w >> meta_bits
+        xs = np.arange(w * h, dtype=np.int64) % w >> meta_bits
+        group_of = midx[ys * meta_tw + xs]
+    groups = [_read_prefix_group(br, cache_size) for _ in range(n_groups)]
     n = w * h
     if (
         FAST_LITERAL
         and cache_bits == 0
-        and all(s < 256 for s in green_dec.code_map)
+        and n_groups == 1
+        and all(s < 256 for s in groups[0][0].code_map)
     ):
-        # literal-only stream (no cache, green code carries no LZ77
-        # length symbols) — every own-encoded file: vectorized path
-        out = _literal_decode_fast(
-            payload[1:], br.pos, n, (green_dec, red_dec, blue_dec, alpha_dec)
-        )
-        return _finish(out, subtract_green, h, w)
+        # literal-only stream (no cache, one group, green code carries
+        # no LZ77 length symbols) — every own-encoded file: vectorized
+        out, end_bit = _literal_decode_fast(payload, br.pos, n, groups[0][:4])
+        br.pos = end_bit
+        return out
+    # dist = xoffset + yoffset * THIS image's width, floored at 1
+    plane_dist = [max(1, xo + yo * w) for xo, yo in _DIST_OFFSETS]
     out = np.empty((n, 4), dtype=np.uint8)  # R, G, B, A
     cache = np.zeros((cache_size, 4), dtype=np.uint8) if cache_size else None
     pos = 0
     while pos < n:
+        green_dec, red_dec, blue_dec, alpha_dec, dist_dec = groups[
+            0 if group_of is None else group_of[pos]
+        ]
         s = green_dec.read(br)
         if s < 256:
             g = s
@@ -670,11 +717,7 @@ def _decode_vp8l(payload: bytes) -> np.ndarray:
         elif s < 256 + _NUM_LENGTH_PREFIXES:
             length = _prefix_value(s - 256, br)
             dcode = _prefix_value(dist_dec.read(br), br)
-            if dcode <= 120:
-                raise NotImplementedError(
-                    "webp: 2D distance plane codes unsupported (1D only)"
-                )
-            dist = dcode - 120
+            dist = plane_dist[dcode - 1] if dcode <= 120 else dcode - 120
             if dist > pos:
                 raise ValueError("webp: backward reference before image start")
             if pos + length > n:
@@ -694,10 +737,57 @@ def _decode_vp8l(payload: bytes) -> np.ndarray:
             continue  # cache hits re-insert the same value: no-op
         if cache is not None:
             _cache_insert(cache, cache_bits, out[px])
-    return _finish(out, subtract_green, h, w)
+    return out
 
 
-def _finish(out: np.ndarray, subtract_green: bool, h: int, w: int) -> np.ndarray:
+def _decode_vp8l(payload: bytes) -> np.ndarray:
+    if not payload or payload[0] != 0x2F:
+        raise ValueError("webp: bad VP8L signature byte")
+    br = _BitReader(payload[1:])
+    w = br.read(14) + 1
+    h = br.read(14) + 1
+    br.read(1)  # alpha hint
+    if br.read(3) != 0:
+        raise ValueError("webp: unknown VP8L version")
+    # transforms, in stream order; inverses apply in REVERSE order.
+    # Color indexing with pixel bundling shrinks the width every
+    # LATER-read stream (incl. the spatial image) is coded at.
+    transforms: list[tuple[int, tuple | None]] = []
+    seen_types: set[int] = set()
+    cur_w = w
+    while br.read(1):
+        ttype = br.read(2)
+        if ttype in seen_types:
+            raise ValueError("webp: duplicate transform type")
+        seen_types.add(ttype)
+        if ttype == 2:  # subtract green — no payload
+            transforms.append((2, None))
+        elif ttype in (0, 1):  # predictor / cross-color tiles
+            size_bits = br.read(3) + 2
+            tw, th = _subsample(cur_w, size_bits), _subsample(h, size_bits)
+            tiles = _decode_image_stream(br, payload[1:], tw, th, False)
+            transforms.append((ttype, (size_bits, tw, tiles, cur_w)))
+        else:  # 3: color indexing (palette, delta-coded entries)
+            n_colors = br.read(8) + 1
+            raw = _decode_image_stream(br, payload[1:], n_colors, 1, False)
+            palette = np.cumsum(raw.astype(np.int32), axis=0).astype(np.uint8)
+            wb = 3 if n_colors <= 2 else 2 if n_colors <= 4 else (
+                1 if n_colors <= 16 else 0
+            )
+            transforms.append((3, (wb, palette, cur_w)))
+            cur_w = _subsample(cur_w, wb)
+    out = _decode_image_stream(br, payload[1:], cur_w, h, True)
+    for ttype, td in reversed(transforms):
+        if ttype == 2:
+            g16 = out[:, 1].astype(np.int16)
+            out[:, 0] = ((out[:, 0].astype(np.int16) + g16) & 255).astype(np.uint8)
+            out[:, 2] = ((out[:, 2].astype(np.int16) + g16) & 255).astype(np.uint8)
+        elif ttype == 0:
+            out = _inv_predictor(out, *td, h)
+        elif ttype == 1:
+            out = _inv_cross_color(out, *td, h)
+        else:
+            out = _inv_palette(out, *td, h)
     # the module contract promises loud out-of-subset failure — a
     # conformant stream with real per-pixel alpha must not silently
     # decode to RGB with the channel dropped (ADVICE r06)
@@ -705,10 +795,6 @@ def _finish(out: np.ndarray, subtract_green: bool, h: int, w: int) -> np.ndarray
         raise NotImplementedError(
             "webp: non-opaque alpha unsupported (RGB-only subset)"
         )
-    if subtract_green:
-        g16 = out[:, 1].astype(np.int16)
-        out[:, 0] = ((out[:, 0].astype(np.int16) + g16) & 255).astype(np.uint8)
-        out[:, 2] = ((out[:, 2].astype(np.int16) + g16) & 255).astype(np.uint8)
     return out[:, :3].reshape(h, w, 3)
 
 
@@ -717,3 +803,139 @@ def _cache_insert(cache: np.ndarray, cache_bits: int, px: np.ndarray) -> None:
         (int(px[3]) << 24) | (int(px[0]) << 16) | (int(px[1]) << 8) | int(px[2])
     )
     cache[((0x1E35A7BD * argb) & 0xFFFFFFFF) >> (32 - cache_bits)] = px
+
+
+# ------------------------------------------------- inverse transforms
+
+
+def _avg2(a: list, b: list) -> list:
+    return [(a[c] + b[c]) >> 1 for c in range(4)]
+
+
+def _clamp(v: int) -> int:
+    return 0 if v < 0 else (255 if v > 255 else v)
+
+
+def _trunc2(v: int) -> int:
+    """C-style truncating division by 2 (RFC 9649's `(a - b) / 2` in
+    ClampAddSubtractHalf truncates toward zero, not floor)."""
+    return v // 2 if v >= 0 else -((-v) // 2)
+
+
+def _predict(mode: int, L: list, T: list, TR: list, TL: list) -> list:
+    """The 14 spatial predictor modes (RFC 9649 §4.4.1)."""
+    if mode == 0:
+        return (0, 0, 0, 255)  # 0xff000000 in our R,G,B,A order
+    if mode == 1:
+        return L
+    if mode == 2:
+        return T
+    if mode == 3:
+        return TR
+    if mode == 4:
+        return TL
+    if mode == 5:
+        return _avg2(_avg2(L, TR), T)
+    if mode == 6:
+        return _avg2(L, TL)
+    if mode == 7:
+        return _avg2(L, T)
+    if mode == 8:
+        return _avg2(TL, T)
+    if mode == 9:
+        return _avg2(T, TR)
+    if mode == 10:
+        return _avg2(_avg2(L, TL), _avg2(T, TR))
+    if mode == 11:  # Select: Manhattan distance to the gradient estimate
+        pL = sum(abs(T[c] - TL[c]) for c in range(4))
+        pT = sum(abs(L[c] - TL[c]) for c in range(4))
+        return L if pL < pT else T
+    if mode == 12:
+        return [_clamp(L[c] + T[c] - TL[c]) for c in range(4)]
+    if mode == 13:
+        a = _avg2(L, T)
+        return [_clamp(a[c] + _trunc2(a[c] - TL[c])) for c in range(4)]
+    raise ValueError("webp: predictor mode out of range")
+
+
+def _inv_predictor(
+    out: np.ndarray, size_bits: int, tw: int, tiles: np.ndarray, w: int, h: int
+) -> np.ndarray:
+    """Inverse predictor transform (RFC 9649 §4.4.1): residuals +
+    predicted neighbor values mod 256, scan order. Border rules: the
+    top-left pixel predicts from opaque black, the rest of the top row
+    from L, the left column from T; the TR pixel of the rightmost
+    column is the current row's leftmost (the spec's flat-array rule —
+    pos - w + 1 lands there naturally). Sequential per pixel by nature
+    (each prediction reads reconstructed neighbors) — per-pixel Python
+    on this foreign-stream-only path, same as the LZ77/cache loop."""
+    modes = tiles[:, 1]  # tile green channel holds the mode
+    px = out.astype(np.int64).tolist()
+    n = w * h
+    for pos in range(n):
+        y, x = divmod(pos, w)
+        if pos == 0:
+            pred = (0, 0, 0, 255)
+        elif y == 0:
+            pred = px[pos - 1]
+        elif x == 0:
+            pred = px[pos - w]
+        else:
+            mode = int(modes[(y >> size_bits) * tw + (x >> size_bits)])
+            pred = _predict(
+                mode, px[pos - 1], px[pos - w], px[pos - w + 1], px[pos - w - 1]
+            )
+        p = px[pos]
+        px[pos] = [(p[c] + pred[c]) & 255 for c in range(4)]
+    return np.asarray(px, dtype=np.uint8)
+
+
+def _inv_cross_color(
+    out: np.ndarray, size_bits: int, tw: int, tiles: np.ndarray, w: int, h: int
+) -> np.ndarray:
+    """Inverse cross-color transform (RFC 9649 §4.4.2), vectorized.
+    Per-tile signed multipliers live in the tile pixel's channels:
+    green_to_red in BLUE, green_to_blue in GREEN, red_to_blue in RED.
+    delta(t, c) = (int8(t) * int8(c)) >> 5 (arithmetic shift); red is
+    reconstructed first and its NEW value (as int8) feeds blue."""
+    n = w * h
+    ys = np.arange(n, dtype=np.int64) // w >> size_bits
+    xs = np.arange(n, dtype=np.int64) % w >> size_bits
+    tidx = ys * tw + xs
+    g2r = tiles[tidx, 2].astype(np.int8).astype(np.int16)
+    g2b = tiles[tidx, 1].astype(np.int8).astype(np.int16)
+    r2b = tiles[tidx, 0].astype(np.int8).astype(np.int16)
+    green = out[:, 1].astype(np.int8).astype(np.int16)
+    red = (out[:, 0].astype(np.int16) + ((g2r * green) >> 5)) & 255
+    red_s = red.astype(np.uint8).astype(np.int8).astype(np.int16)
+    blue = (
+        out[:, 2].astype(np.int16) + ((g2b * green) >> 5) + ((r2b * red_s) >> 5)
+    ) & 255
+    res = out.copy()
+    res[:, 0] = red.astype(np.uint8)
+    res[:, 2] = blue.astype(np.uint8)
+    return res
+
+
+def _inv_palette(
+    out: np.ndarray, wb: int, palette: np.ndarray, w: int, h: int
+) -> np.ndarray:
+    """Inverse color-indexing transform (RFC 9649 §4.4.4): unbundle
+    packed indices from the green channel (wb = width_bits; 1 << wb
+    indices per packed pixel, each 8 >> wb bits, LSB-first = leftmost)
+    then look up the delta-decoded palette. Indices past the palette
+    decode to transparent black per the spec — which the RGB-subset
+    alpha check then rejects loudly."""
+    if wb == 0:
+        idx = out[:, 1].astype(np.int64)
+    else:
+        pw = out.shape[0] // h
+        green = out[:, 1].reshape(h, pw).astype(np.int64)
+        per, bits = 1 << wb, 8 >> wb
+        shifts = np.arange(per, dtype=np.int64) * bits
+        idx = (green[:, :, None] >> shifts) & ((1 << bits) - 1)
+        idx = idx.reshape(h, pw * per)[:, :w].reshape(-1)
+    oob = idx >= palette.shape[0]
+    res = palette[np.minimum(idx, palette.shape[0] - 1)].copy()
+    res[oob] = 0  # spec: out-of-palette index = 0x00000000
+    return res

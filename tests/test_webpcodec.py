@@ -123,6 +123,112 @@ def _write_normal_two(bw: W._BitWriter, alphabet_size: int, sym_a: int, sym_b: i
         bw.write_code(1 if s in (sym_a, sym_b) else 0, 1)
 
 
+def _chan_code(bw: W._BitWriter, values, alphabet: int):
+    """Write one channel's prefix code; return val -> (code, len)
+    lookup (None = zero-bit single-symbol code)."""
+    used = sorted(set(values))
+    if len(used) <= 2 and all(v <= 255 for v in used):
+        _write_simple_code(bw, used)
+        if len(used) == 1:
+            return None
+        return {used[0]: (0, 1), used[1]: (1, 1)}
+    freqs = np.zeros(alphabet, np.int64)
+    for v in values:
+        freqs[v] += 1
+    lengths = W._huffman_lengths(freqs, 15)
+    W._write_prefix_code(bw, lengths)
+    return W._canonical_codes(lengths)
+
+
+def _write_image_stream(bw: W._BitWriter, pixels, level0: bool):
+    """Write a literal-only spatially-coded image (cache off, no meta)
+    for the given (r, g, b, a) pixel list — the building block for
+    transform sub-images (tiles / palettes / entropy images) and plain
+    level-0 images. Sub-resolution images carry NO meta-prefix bit."""
+    bw.write(0, 1)  # no color cache
+    if level0:
+        bw.write(0, 1)  # no meta prefix codes
+    rs = [p[0] for p in pixels]
+    gs = [p[1] for p in pixels]
+    bs = [p[2] for p in pixels]
+    as_ = [p[3] for p in pixels]
+    gc = _chan_code(bw, gs, 256 + 24)
+    rc = _chan_code(bw, rs, 256)
+    bc = _chan_code(bw, bs, 256)
+    ac = _chan_code(bw, as_, 256)
+    _write_simple_code(bw, [0])  # distance (unused)
+    for r, g, b, a in pixels:
+        for val, codes in ((g, gc), (r, rc), (b, bc), (a, ac)):
+            if codes is not None:
+                bw.write_code(*codes[val])
+
+
+def _rfc_predict(mode, L, T, TR, TL):
+    """Independent transcription of the RFC 9649 §4.4.1 predictor
+    pseudo-code (gradient-estimate form for Select, C-truncating /2 in
+    ClampAddSubtractHalf) — a differential check on the module's
+    _predict, not a call into it."""
+    C = range(4)
+
+    def av(a, b):
+        return tuple((a[c] + b[c]) // 2 for c in C)
+
+    def clamp(v):
+        return min(255, max(0, v))
+
+    def tr2(v):  # C division truncates toward zero
+        return v // 2 if v >= 0 else -((-v) // 2)
+
+    if mode == 11:
+        p = [L[c] + T[c] - TL[c] for c in C]
+        pl = sum(abs(p[c] - L[c]) for c in C)
+        pt = sum(abs(p[c] - T[c]) for c in C)
+        return L if pl < pt else T
+    if mode == 12:
+        return tuple(clamp(L[c] + T[c] - TL[c]) for c in C)
+    if mode == 13:
+        a = av(L, T)
+        return tuple(clamp(a[c] + tr2(a[c] - TL[c])) for c in C)
+    return {
+        0: lambda: (0, 0, 0, 255),
+        1: lambda: L,
+        2: lambda: T,
+        3: lambda: TR,
+        4: lambda: TL,
+        5: lambda: av(av(L, TR), T),
+        6: lambda: av(L, TL),
+        7: lambda: av(L, T),
+        8: lambda: av(TL, T),
+        9: lambda: av(T, TR),
+        10: lambda: av(av(L, TL), av(T, TR)),
+    }[mode]()
+
+
+def _predictor_residuals(target, w, h, mode):
+    """Forward predictor transform (single tile): residuals the
+    decoder must turn back into ``target``. target: list of (r,g,b,a)
+    in scan order."""
+    res = []
+    for pos in range(w * h):
+        y, x = divmod(pos, w)
+        if pos == 0:
+            pred = (0, 0, 0, 255)
+        elif y == 0:
+            pred = target[pos - 1]
+        elif x == 0:
+            pred = target[pos - w]
+        else:
+            pred = _rfc_predict(
+                mode,
+                target[pos - 1],
+                target[pos - w],
+                target[pos - w + 1],  # x=w-1: current row's leftmost
+                target[pos - w - 1],
+            )
+        res.append(tuple((target[pos][c] - pred[c]) & 255 for c in range(4)))
+    return res
+
+
 def test_decoder_lz77_1d():
     """Foreign-stream LZ77: a literal pixel then a 1D backref (plane
     code 121 -> distance 1) copying 3 pixels — a 2x3 solid image.
@@ -247,36 +353,25 @@ def test_rejects_out_of_subset_loudly():
     # fourcc says VP8X but the chunk length is the VP8L one, not 10
     with pytest.raises(ValueError, match="VP8X chunk length"):
         decode_webp(good[:12] + b"VP8X" + good[16:])
-    # predictor transform
-    for ttype, msg in ((0, "predictor"), (1, "cross-color"), (3, "color-indexing")):
-        bw = W._BitWriter()
-        _header(bw, 1, 1)
-        bw.write(1, 1)
-        bw.write(ttype, 2)
-        with pytest.raises(NotImplementedError, match=msg):
-            decode_webp(_container(bw))
-    # meta prefix codes
+    # the same transform twice is corrupt (RFC 9649: each type once)
     bw = W._BitWriter()
     _header(bw, 1, 1)
-    bw.write(0, 1)
-    bw.write(0, 1)
-    bw.write(1, 1)  # meta prefix ON
-    with pytest.raises(NotImplementedError, match="meta prefix"):
+    bw.write(1, 1)
+    bw.write(2, 2)  # subtract green
+    bw.write(1, 1)
+    bw.write(2, 2)  # ... again
+    with pytest.raises(ValueError, match="duplicate transform"):
         decode_webp(_container(bw))
-    # 2D distance plane codes
+    # predictor tile mode out of the 14-mode range is corrupt
     bw = W._BitWriter()
-    _header(bw, 2, 1)
-    bw.write(0, 1)
-    bw.write(0, 1)
-    bw.write(0, 1)
-    _write_normal_two(bw, 256 + 24, 10, 256 + 0)  # len prefix 0 -> length 1
-    _write_simple_code(bw, [20])
-    _write_simple_code(bw, [30])
-    _write_simple_code(bw, [255])
-    _write_simple_code(bw, [0])  # distance prefix 0 -> dist_code 1 (2D)
-    bw.write(0, 1)  # literal
-    bw.write(1, 1)  # backref len 1
-    with pytest.raises(NotImplementedError, match="plane codes"):
+    _header(bw, 8, 8)
+    bw.write(1, 1)
+    bw.write(0, 2)  # predictor transform
+    bw.write(1, 3)  # size_bits = 3 -> one 8x8 tile
+    _write_image_stream(bw, [(0, 14, 0, 255)], level0=False)  # mode 14
+    bw.write(0, 1)  # no more transforms
+    _write_image_stream(bw, [(0, 0, 0, 255)] * 64, level0=True)
+    with pytest.raises(ValueError, match="predictor mode"):
         decode_webp(_container(bw))
 
 
@@ -499,6 +594,231 @@ def test_fast_path_huge_decl_rejected_before_allocation():
     assert time.time() - t0 < 0.5, "reject must happen before the O(n) work"
 
 
+# ------------------------------------ full-spec lossless decode (r7)
+
+
+def test_dist_offsets_table_matches_generative_rule():
+    """The 120-entry 2D distance plane table (RFC 9649 §4.2.2) equals
+    its generative rule — {(x,0): 1<=x<=8} ∪ {(x,y): 1<=y<=7,
+    -7<=x<=8} sorted by (x²+y², -y, +x before -x) — so a transcription
+    slip in either the literal or the rule fails here instead of
+    silently mis-decoding a foreign backref."""
+    cands = [(x, 0) for x in range(1, 9)]
+    cands += [(x, y) for y in range(1, 8) for x in range(-7, 9)]
+    rule = sorted(cands, key=lambda p: (p[0] ** 2 + p[1] ** 2, -p[1], p[0] < 0))
+    assert len(W._DIST_OFFSETS) == 120
+    assert len(set(W._DIST_OFFSETS)) == 120
+    assert tuple(rule) == W._DIST_OFFSETS
+
+
+def test_decoder_lz77_2d_distance():
+    """2D distance plane codes: plane 1 = (0, 1) copies the pixel one
+    row up; plane 4 = (-1, 1) copies up-right — both discriminate
+    against off-by-one table errors (plane 3 = (1, 1) would read a
+    different red)."""
+    w, h = 4, 2
+    bw = W._BitWriter()
+    _header(bw, w, h)
+    bw.write(0, 1)  # no transforms
+    bw.write(0, 1)  # no cache
+    bw.write(0, 1)  # no meta
+    _write_normal_two(bw, 256 + 24, 42, 256 + 0)  # literal 42 | len-1 backref
+    _write_simple_code(bw, [10, 20])  # red: 1 bit
+    _write_simple_code(bw, [30])  # blue
+    _write_simple_code(bw, [255])  # alpha
+    _write_simple_code(bw, [0, 3])  # dist prefix 0 -> plane 1; 3 -> plane 4
+    reds = [10, 20, 20, 10]
+    for r in reds:  # row 0: literals
+        bw.write(0, 1)  # green '0' -> literal 42
+        bw.write(0 if r == 10 else 1, 1)
+    planes = [1, 4, 1, 4]  # row 1: backrefs
+    for p in planes:
+        bw.write(1, 1)  # green '1' -> length-1 backref
+        bw.write(0 if p == 1 else 1, 1)
+    # simulate: plane 1 -> dist w; plane 4 -> dist w - 1
+    expect = list(reds)
+    for p in planes:
+        d = w if p == 1 else w - 1
+        expect.append(expect[len(expect) - d])
+    out = decode_webp(_container(bw))
+    assert out[:, :, 0].ravel().tolist() == expect
+    assert np.all(out[:, :, 1] == 42) and np.all(out[:, :, 2] == 30)
+
+
+@pytest.mark.parametrize("mode", list(range(14)))
+def test_decoder_predictor_transform_all_modes(mode):
+    """Each of the 14 predictor modes inverts exactly: residuals are
+    forward-computed by an independent RFC-pseudocode transcription,
+    streamed as literals behind a single-tile predictor transform, and
+    the decode must reproduce the target image bit-for-bit."""
+    rng = np.random.default_rng(1000 + mode)
+    w = h = 8
+    tgt = rng.integers(0, 256, (w * h, 4))
+    tgt[:, 3] = 255  # opaque corpus
+    target = [tuple(int(v) for v in row) for row in tgt]
+    res = _predictor_residuals(target, w, h, mode)
+    bw = W._BitWriter()
+    _header(bw, w, h)
+    bw.write(1, 1)
+    bw.write(0, 2)  # predictor transform
+    bw.write(1, 3)  # size_bits = 2 + 1 = 3 -> one 8x8 tile
+    _write_image_stream(bw, [(0, mode, 0, 255)], level0=False)
+    bw.write(0, 1)  # no more transforms
+    _write_image_stream(bw, res, level0=True)
+    out = decode_webp(_container(bw))
+    want = np.array([p[:3] for p in target], np.uint8).reshape(h, w, 3)
+    assert np.array_equal(out, want)
+
+
+def test_decoder_cross_color_transform():
+    """Cross-color inverse: signed per-tile multipliers (green_to_red
+    in the tile's BLUE channel, green_to_blue in GREEN, red_to_blue in
+    RED), delta = (int8·int8) >> 5 arithmetic, blue fed by the NEW
+    red. Residuals forward-computed independently."""
+    g2r, g2b, r2b = 0x90, 0x35, 0xF0  # mixed signs as int8
+
+    def delta(t, c):
+        t8 = t - 256 if t >= 128 else t
+        c8 = c - 256 if c >= 128 else c
+        return (t8 * c8) >> 5  # python >> floors == C arithmetic shift
+
+    rng = np.random.default_rng(7)
+    w = h = 4
+    tgt = [
+        (int(r), int(g), int(b), 255)
+        for r, g, b in rng.integers(0, 256, (w * h, 3))
+    ]
+    res = [
+        (
+            (r - delta(g2r, g)) & 255,
+            g,
+            (b - delta(g2b, g) - delta(r2b, r)) & 255,
+            255,
+        )
+        for r, g, b, _ in tgt
+    ]
+    bw = W._BitWriter()
+    _header(bw, w, h)
+    bw.write(1, 1)
+    bw.write(1, 2)  # cross-color transform
+    bw.write(0, 3)  # size_bits = 2 -> one 4x4 tile
+    _write_image_stream(bw, [(r2b, g2b, g2r, 255)], level0=False)
+    bw.write(0, 1)
+    _write_image_stream(bw, res, level0=True)
+    out = decode_webp(_container(bw))
+    want = np.array([p[:3] for p in tgt], np.uint8).reshape(h, w, 3)
+    assert np.array_equal(out, want)
+
+
+def test_decoder_color_indexing_bundled():
+    """Color-indexing with pixel bundling: a 4-color palette packs 4
+    two-bit indices per green byte (LSB-first = leftmost), the image
+    is entropy-coded at the sub-sampled width, and palette entries are
+    delta-coded. 9 columns exercises the partial last bundle."""
+    palette = [(10, 20, 30, 255), (40, 5, 60, 255), (7, 8, 9, 255), (200, 100, 50, 255)]
+    deltas = [palette[0]] + [
+        tuple((palette[i][c] - palette[i - 1][c]) & 255 for c in range(4))
+        for i in range(1, 4)
+    ]
+    w, h = 9, 2
+    rows = [[0, 1, 2, 3, 0, 1, 2, 3, 0], [3, 3, 3, 3, 2, 2, 1, 1, 0]]
+
+    def pack(row):
+        out = []
+        for i in range(0, len(row), 4):
+            grp = row[i : i + 4]
+            out.append(sum(v << (2 * j) for j, v in enumerate(grp)))
+        return out
+
+    packed = [g for row in rows for g in pack(row)]
+    bw = W._BitWriter()
+    _header(bw, w, h)
+    bw.write(1, 1)
+    bw.write(3, 2)  # color-indexing transform
+    bw.write(3, 8)  # 4 colors
+    _write_image_stream(bw, deltas, level0=False)
+    bw.write(0, 1)
+    _write_image_stream(bw, [(0, g, 0, 255) for g in packed], level0=True)
+    out = decode_webp(_container(bw))
+    want = np.array(
+        [palette[i][:3] for row in rows for i in row], np.uint8
+    ).reshape(h, w, 3)
+    assert np.array_equal(out, want)
+
+
+def test_decoder_color_indexing_oob_index_fails_loudly():
+    """An index past the palette decodes to transparent black per the
+    spec — which the RGB-subset alpha gate must then reject loudly
+    rather than emit garbage pixels."""
+    bw = W._BitWriter()
+    _header(bw, 4, 1)
+    bw.write(1, 1)
+    bw.write(3, 2)
+    bw.write(2, 8)  # 3 colors -> 2-bit indices; index 3 is OOB
+    _write_image_stream(
+        bw, [(1, 2, 3, 255), (1, 1, 1, 0), (1, 1, 1, 0)], level0=False
+    )
+    bw.write(0, 1)
+    packed = 0 | (1 << 2) | (2 << 4) | (3 << 6)  # last index OOB
+    _write_image_stream(bw, [(0, packed, 0, 255)], level0=True)
+    with pytest.raises(NotImplementedError, match="alpha"):
+        decode_webp(_container(bw))
+
+
+def test_decoder_meta_prefix_groups():
+    """Meta prefix codes: a 2-tile entropy image (group = red<<8 |
+    green) selects between two prefix-code groups with different
+    single-symbol literals — left tile decodes through group 0, right
+    through group 1."""
+    w, h = 8, 4
+    bw = W._BitWriter()
+    _header(bw, w, h)
+    bw.write(0, 1)  # no transforms
+    bw.write(0, 1)  # no cache
+    bw.write(1, 1)  # meta prefix codes ON
+    bw.write(0, 3)  # meta_bits = 2 -> 4px tiles -> 2x1 entropy image
+    _write_image_stream(bw, [(0, 0, 0, 255), (0, 1, 0, 255)], level0=False)
+    for r, g, b in ((1, 100, 2), (3, 200, 4)):  # group 0, group 1
+        _write_simple_code(bw, [g])
+        _write_simple_code(bw, [r])
+        _write_simple_code(bw, [b])
+        _write_simple_code(bw, [255])
+        _write_simple_code(bw, [0])
+    # every channel in both groups is a zero-bit single-symbol code:
+    # the pixel data consumes no bits at all
+    out = decode_webp(_container(bw))
+    assert np.all(out[:, :4] == np.array([1, 100, 2], np.uint8))
+    assert np.all(out[:, 4:] == np.array([3, 200, 4], np.uint8))
+
+
+def test_decoder_transform_chain_reverse_order():
+    """Two transforms invert in REVERSE stream order: stream lists
+    [predictor, subtract-green], so encode-side the predictor ran
+    first and subtract-green second — decode must undo subtract-green
+    before the predictor inverse."""
+    rng = np.random.default_rng(99)
+    w = h = 8
+    tgt = [
+        (int(r), int(g), int(b), 255)
+        for r, g, b in rng.integers(0, 256, (w * h, 3))
+    ]
+    res = _predictor_residuals(tgt, w, h, 12)
+    sg = [((r - g) & 255, g, (b - g) & 255, a) for r, g, b, a in res]
+    bw = W._BitWriter()
+    _header(bw, w, h)
+    bw.write(1, 1)
+    bw.write(0, 2)  # predictor
+    bw.write(1, 3)  # one 8x8 tile
+    _write_image_stream(bw, [(0, 12, 0, 255)], level0=False)
+    bw.write(1, 1)
+    bw.write(2, 2)  # subtract green
+    bw.write(0, 1)
+    _write_image_stream(bw, sg, level0=True)
+    out = decode_webp(_container(bw))
+    want = np.array([p[:3] for p in tgt], np.uint8).reshape(h, w, 3)
+    assert np.array_equal(out, want)
+
+
 def test_fast_path_all_constant_channels_direct():
     """All-single-symbol channels consume zero bits: the fast path
     emits the constant image directly (stream content irrelevant),
@@ -509,7 +829,8 @@ def test_fast_path_all_constant_channels_direct():
     r = SimpleNamespace(code_map={22: (0, 0)})
     b = SimpleNamespace(code_map={33: (0, 0)})
     a = SimpleNamespace(code_map={255: (0, 0)})
-    out = W._literal_decode_fast(b"", 0, 5, [g, r, b, a])
+    out, end_bit = W._literal_decode_fast(b"", 0, 5, [g, r, b, a])
+    assert end_bit == 0  # zero bits consumed
     assert out.shape == (5, 4)
     # stream order g,r,b,a -> columns R,G,B,A
     assert (out[:, 0] == 22).all() and (out[:, 1] == 11).all()
