@@ -655,15 +655,16 @@ def _read_prefix_group(br: _BitReader, cache_size: int) -> tuple:
     )
 
 
-def _decode_image_stream(
-    br: _BitReader, payload: bytes, w: int, h: int, is_level0: bool
-) -> np.ndarray:
+def _decode_image_stream(br: _BitReader, w: int, h: int, is_level0: bool) -> np.ndarray:
     """Decode one spatially-coded image (RFC 9649 §4.3.2): color cache
     info, meta prefix info (level 0 only — sub-resolution images read
     no meta bit, matching the spec's recursion), prefix code groups,
     then the literal/LZ77/cache-coded pixel data. Transform reading
     lives in the caller (_decode_vp8l) — transforms exist only at
-    level 0. Returns flat (n, 4) uint8 rows in R, G, B, A order."""
+    level 0. Reads bits AND bytes from ``br`` alone (the fast path
+    peeks br.data at br.pos) so a caller can never hand it a buffer
+    out of sync with the bit reader. Returns flat (n, 4) uint8 rows
+    in R, G, B, A order."""
     cache_bits = 0
     if br.read(1):
         cache_bits = br.read(4)
@@ -673,16 +674,14 @@ def _decode_image_stream(
     group_of = None
     n_groups = 1
     meta_tw = meta_bits = 0
+    midx = None
     if is_level0 and br.read(1):  # meta prefix codes
         meta_bits = br.read(3) + 2
         meta_tw, meta_th = _subsample(w, meta_bits), _subsample(h, meta_bits)
-        meta = _decode_image_stream(br, payload, meta_tw, meta_th, False)
+        meta = _decode_image_stream(br, meta_tw, meta_th, False)
         # group index = (red << 8) | green of the entropy-image pixel
         midx = (meta[:, 0].astype(np.int32) << 8) | meta[:, 1].astype(np.int32)
         n_groups = int(midx.max()) + 1
-        ys = np.arange(w * h, dtype=np.int64) // w >> meta_bits
-        xs = np.arange(w * h, dtype=np.int64) % w >> meta_bits
-        group_of = midx[ys * meta_tw + xs]
     groups = [_read_prefix_group(br, cache_size) for _ in range(n_groups)]
     n = w * h
     if (
@@ -693,18 +692,23 @@ def _decode_image_stream(
     ):
         # literal-only stream (no cache, one group, green code carries
         # no LZ77 length symbols) — every own-encoded file: vectorized
-        out, end_bit = _literal_decode_fast(payload, br.pos, n, groups[0][:4])
+        out, end_bit = _literal_decode_fast(br.data, br.pos, n, groups[0][:4])
         br.pos = end_bit
         return out
+    if n_groups > 1:  # a trivial entropy image needs no per-pixel map
+        ys = np.arange(n, dtype=np.int64) // w >> meta_bits
+        xs = np.arange(n, dtype=np.int64) % w >> meta_bits
+        group_of = midx[ys * meta_tw + xs]
     # dist = xoffset + yoffset * THIS image's width, floored at 1
     plane_dist = [max(1, xo + yo * w) for xo, yo in _DIST_OFFSETS]
     out = np.empty((n, 4), dtype=np.uint8)  # R, G, B, A
     cache = np.zeros((cache_size, 4), dtype=np.uint8) if cache_size else None
     pos = 0
+    if group_of is None:  # single group: unpack once, not per pixel
+        green_dec, red_dec, blue_dec, alpha_dec, dist_dec = groups[0]
     while pos < n:
-        green_dec, red_dec, blue_dec, alpha_dec, dist_dec = groups[
-            0 if group_of is None else group_of[pos]
-        ]
+        if group_of is not None:
+            green_dec, red_dec, blue_dec, alpha_dec, dist_dec = groups[group_of[pos]]
         s = green_dec.read(br)
         if s < 256:
             g = s
@@ -765,18 +769,18 @@ def _decode_vp8l(payload: bytes) -> np.ndarray:
         elif ttype in (0, 1):  # predictor / cross-color tiles
             size_bits = br.read(3) + 2
             tw, th = _subsample(cur_w, size_bits), _subsample(h, size_bits)
-            tiles = _decode_image_stream(br, payload[1:], tw, th, False)
+            tiles = _decode_image_stream(br, tw, th, False)
             transforms.append((ttype, (size_bits, tw, tiles, cur_w)))
         else:  # 3: color indexing (palette, delta-coded entries)
             n_colors = br.read(8) + 1
-            raw = _decode_image_stream(br, payload[1:], n_colors, 1, False)
+            raw = _decode_image_stream(br, n_colors, 1, False)
             palette = np.cumsum(raw.astype(np.int32), axis=0).astype(np.uint8)
             wb = 3 if n_colors <= 2 else 2 if n_colors <= 4 else (
                 1 if n_colors <= 16 else 0
             )
             transforms.append((3, (wb, palette, cur_w)))
             cur_w = _subsample(cur_w, wb)
-    out = _decode_image_stream(br, payload[1:], cur_w, h, True)
+    out = _decode_image_stream(br, cur_w, h, True)
     for ttype, td in reversed(transforms):
         if ttype == 2:
             g16 = out[:, 1].astype(np.int16)

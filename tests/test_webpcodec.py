@@ -819,6 +819,215 @@ def test_decoder_transform_chain_reverse_order():
     assert np.array_equal(out, want)
 
 
+def _predictor_residuals_tiled(target, w, h, size_bits, modes, tw):
+    """Forward predictor transform with a REAL tile grid: the mode for
+    each interior pixel comes from modes[(y>>size_bits)*tw +
+    (x>>size_bits)] — the indexing a single-tile test never exercises
+    (tw=th=1 makes every tile index 0)."""
+    res = []
+    for pos in range(w * h):
+        y, x = divmod(pos, w)
+        if pos == 0:
+            pred = (0, 0, 0, 255)
+        elif y == 0:
+            pred = target[pos - 1]
+        elif x == 0:
+            pred = target[pos - w]
+        else:
+            mode = modes[(y >> size_bits) * tw + (x >> size_bits)]
+            pred = _rfc_predict(
+                mode,
+                target[pos - 1],
+                target[pos - w],
+                target[pos - w + 1],  # x=w-1: current row's leftmost
+                target[pos - w - 1],
+            )
+        res.append(tuple((target[pos][c] - pred[c]) & 255 for c in range(4)))
+    return res
+
+
+def test_decoder_predictor_multi_tile_grid():
+    """A 2x2 tile grid with four DIFFERENT predictor modes: pins the
+    decoder's per-pixel tile-index arithmetic (a tw/th swap or wrong
+    stride would pass every single-tile test)."""
+    rng = np.random.default_rng(4242)
+    w = h = 8
+    size_bits = 2  # 4px tiles -> 2x2 tile grid
+    modes = [2, 11, 7, 12]
+    tgt = rng.integers(0, 256, (w * h, 4))
+    tgt[:, 3] = 255
+    target = [tuple(int(v) for v in row) for row in tgt]
+    res = _predictor_residuals_tiled(target, w, h, size_bits, modes, tw=2)
+    bw = W._BitWriter()
+    _header(bw, w, h)
+    bw.write(1, 1)
+    bw.write(0, 2)  # predictor transform
+    bw.write(size_bits - 2, 3)
+    _write_image_stream(bw, [(0, m, 0, 255) for m in modes], level0=False)
+    bw.write(0, 1)  # no more transforms
+    _write_image_stream(bw, res, level0=True)
+    out = decode_webp(_container(bw))
+    want = np.array([p[:3] for p in target], np.uint8).reshape(h, w, 3)
+    assert np.array_equal(out, want)
+
+
+def test_decoder_cross_color_multi_tile():
+    """Two cross-color tiles with DIFFERENT multiplier sets along x:
+    pins the per-pixel tile lookup (ys*tw+xs) against a stride bug the
+    single-tile test cannot see."""
+    sets = [(0x90, 0x35, 0xF0), (0x11, 0xE2, 0x4C)]  # (g2r, g2b, r2b)
+
+    def delta(t, c):
+        t8 = t - 256 if t >= 128 else t
+        c8 = c - 256 if c >= 128 else c
+        return (t8 * c8) >> 5
+
+    rng = np.random.default_rng(17)
+    w, h = 8, 4
+    size_bits = 2  # 4px tiles -> 2x1 tile grid
+    tgt = [
+        (int(r), int(g), int(b), 255)
+        for r, g, b in rng.integers(0, 256, (w * h, 3))
+    ]
+    res = []
+    for pos, (r, g, b, _) in enumerate(tgt):
+        g2r, g2b, r2b = sets[(pos % w) >> size_bits]
+        res.append(
+            (
+                (r - delta(g2r, g)) & 255,
+                g,
+                (b - delta(g2b, g) - delta(r2b, r)) & 255,
+                255,
+            )
+        )
+    bw = W._BitWriter()
+    _header(bw, w, h)
+    bw.write(1, 1)
+    bw.write(1, 2)  # cross-color transform
+    bw.write(size_bits - 2, 3)
+    _write_image_stream(
+        bw, [(r2b, g2b, g2r, 255) for g2r, g2b, r2b in sets], level0=False
+    )
+    bw.write(0, 1)
+    _write_image_stream(bw, res, level0=True)
+    out = decode_webp(_container(bw))
+    want = np.array([p[:3] for p in tgt], np.uint8).reshape(h, w, 3)
+    assert np.array_equal(out, want)
+
+
+@pytest.mark.parametrize(
+    "n_colors,wb,w",
+    [(2, 3, 11), (20, 0, 5)],  # 8 indices/byte + partial bundle; no bundling
+)
+def test_decoder_color_indexing_other_widths(n_colors, wb, w):
+    """Bundling widths beyond the 2-bit case: wb=3 (1-bit indices, 8
+    per byte, partial last bundle) and wb=0 (>16 colors, no bundling).
+    The committed 4-color test only covers wb=2."""
+    rng = np.random.default_rng(n_colors)
+    palette = [
+        (int(r), int(g), int(b), 255)
+        for r, g, b in rng.integers(0, 256, (n_colors, 3))
+    ]
+    deltas = [palette[0]] + [
+        tuple((palette[i][c] - palette[i - 1][c]) & 255 for c in range(4))
+        for i in range(1, n_colors)
+    ]
+    h = 2
+    rows = [[int(v) for v in rng.integers(0, n_colors, w)] for _ in range(h)]
+    per_byte = 1 << wb
+    bits = 8 >> wb
+    packed = []
+    for row in rows:
+        for i in range(0, w, per_byte):
+            grp = row[i : i + per_byte]
+            packed.append(sum(v << (bits * j) for j, v in enumerate(grp)))
+    bw = W._BitWriter()
+    _header(bw, w, h)
+    bw.write(1, 1)
+    bw.write(3, 2)  # color-indexing transform
+    bw.write(n_colors - 1, 8)
+    _write_image_stream(bw, deltas, level0=False)
+    bw.write(0, 1)
+    _write_image_stream(bw, [(0, g, 0, 255) for g in packed], level0=True)
+    out = decode_webp(_container(bw))
+    want = np.array(
+        [palette[i][:3] for row in rows for i in row], np.uint8
+    ).reshape(h, w, 3)
+    assert np.array_equal(out, want)
+
+
+def test_decoder_chain_color_indexing_then_predictor():
+    """A width-changing chain: color-indexing (read first) shrinks the
+    coded width, so the predictor (read second) is coded — and must be
+    inverted — on the PACKED width before the palette expands it back.
+    Pins cur_w propagation through the transform list."""
+    palette = [(10, 20, 30, 255), (40, 5, 60, 255), (7, 8, 9, 255), (200, 100, 50, 255)]
+    deltas = [palette[0]] + [
+        tuple((palette[i][c] - palette[i - 1][c]) & 255 for c in range(4))
+        for i in range(1, 4)
+    ]
+    w, h = 8, 4  # 4 colors -> wb=2 -> packed width 2
+    pw = 2
+    rng = np.random.default_rng(5)
+    rows = [[int(v) for v in rng.integers(0, 4, w)] for _ in range(h)]
+    packed = [
+        (0, sum(v << (2 * j) for j, v in enumerate(row[i : i + 4])), 0, 255)
+        for row in rows
+        for i in range(0, w, 4)
+    ]
+    res = _predictor_residuals(packed, pw, h, 2)  # mode 2 (T) on packed img
+    bw = W._BitWriter()
+    _header(bw, w, h)
+    bw.write(1, 1)
+    bw.write(3, 2)  # color-indexing first
+    bw.write(3, 8)  # 4 colors
+    _write_image_stream(bw, deltas, level0=False)
+    bw.write(1, 1)
+    bw.write(0, 2)  # predictor second: tiles subsample the PACKED width
+    bw.write(1, 3)  # size_bits=3 -> one tile over 2x4
+    _write_image_stream(bw, [(0, 2, 0, 255)], level0=False)
+    bw.write(0, 1)
+    _write_image_stream(bw, res, level0=True)
+    out = decode_webp(_container(bw))
+    want = np.array(
+        [palette[i][:3] for row in rows for i in row], np.uint8
+    ).reshape(h, w, 3)
+    assert np.array_equal(out, want)
+
+
+def test_decoder_meta_groups_with_bit_consuming_codes():
+    """Meta prefix groups whose codes actually consume bits: two
+    groups with two-symbol green codes, pixels alternating within each
+    tile — pins the slow loop's per-pixel group switch interleaved
+    with real bit reads (the committed meta test uses only zero-bit
+    single-symbol codes)."""
+    w, h = 8, 2
+    bw = W._BitWriter()
+    _header(bw, w, h)
+    bw.write(0, 1)  # no transforms
+    bw.write(0, 1)  # no cache
+    bw.write(1, 1)  # meta prefix codes ON
+    bw.write(0, 3)  # meta_bits=2 -> 4px tiles -> 2x1 entropy image
+    _write_image_stream(bw, [(0, 0, 0, 255), (0, 1, 0, 255)], level0=False)
+    group_greens = [(5, 9), (7, 8)]
+    for lo_hi in group_greens:
+        _write_simple_code(bw, list(lo_hi))  # green: 1 bit/pixel
+        _write_simple_code(bw, [1])  # red
+        _write_simple_code(bw, [2])  # blue
+        _write_simple_code(bw, [255])  # alpha
+        _write_simple_code(bw, [0])  # distance
+    want_green = []
+    for pos in range(w * h):
+        x = pos % w
+        lo, hi = group_greens[x >> 2]
+        bit = (pos + (x >> 2)) & 1  # alternate, offset per group
+        bw.write(bit, 1)
+        want_green.append(hi if bit else lo)
+    out = decode_webp(_container(bw))
+    assert out[:, :, 1].ravel().tolist() == want_green
+    assert np.all(out[:, :, 0] == 1) and np.all(out[:, :, 2] == 2)
+
+
 def test_fast_path_all_constant_channels_direct():
     """All-single-symbol channels consume zero bits: the fast path
     emits the constant image directly (stream content irrelevant),
