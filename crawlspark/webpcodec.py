@@ -8,12 +8,15 @@ bitstream"); reference parity target is the same as the other codecs:
 the crawl engine's payload invariant (input_hint: decoded-pixel
 allclose; lossless ⇒ exact equality) on the image+caption corpus.
 
-Encoder (``encode_webp``): the spec's simple profile — one spatially
-coded ARGB image, NO transforms, NO color cache, NO meta prefix
-codes, literal pixels only (no LZ77 backward references). Each of the
-five prefix codes is either a "simple" code (≤2 symbols) or a normal
-code-length-coded canonical prefix code. This is a strictly
-spec-compliant stream: any conformant WebP decoder reads it.
+Encoder (``encode_webp``): literal-pixel spatially coded streams (no
+LZ77 backward references, color cache, or meta prefix codes) behind
+an optional transform: SUBTRACT_GREEN by default, or the opt-in
+COLOR_INDEXING palette profile (``palette=True``, ≤256 distinct
+colors — delta-coded entries + bundled indices, so ≤16-color images
+code at 1/2-1/8 width). Each of the five prefix codes is either a
+"simple" code (≤2 symbols) or a normal code-length-coded canonical
+prefix code. These are strictly spec-compliant streams: any
+conformant WebP decoder reads them.
 
 Decoder (``decode_webp``): the FULL VP8L lossless bitstream (r7) —
 all four transforms (predictor with the 14 spatial modes,
@@ -296,14 +299,62 @@ def _write_prefix_code(bw: _BitWriter, lengths: list[int]):
         bw.write_code(code, clen)
 
 
-def encode_webp(arr: np.ndarray, subtract_green: bool = True) -> bytes:
+def _write_literal_image(bw: _BitWriter, g, r, b, a, level0: bool) -> None:
+    """Write one literal-only spatially-coded image (RFC 9649 §4.3.2):
+    cache off, no meta prefix codes (sub-resolution images carry no
+    meta bit at all), one histogram-built canonical prefix code per
+    channel, then the pixel codes in g, r, b, a stream order.
+    Channels are flat uint8 arrays of equal length."""
+    bw.write(0, 1)  # no color cache
+    if level0:
+        bw.write(0, 1)  # no meta prefix codes
+    green_hist = np.zeros(256 + _NUM_LENGTH_PREFIXES, dtype=np.int64)
+    np.add.at(green_hist, g, 1)
+    dist_hist = np.zeros(40, dtype=np.int64)
+    dist_hist[0] = 1  # unused -> 1-symbol simple code
+    codes = []
+    for hist in (
+        green_hist,
+        np.bincount(r, minlength=256).astype(np.int64),
+        np.bincount(b, minlength=256).astype(np.int64),
+        np.bincount(a, minlength=256).astype(np.int64),
+        dist_hist,
+    ):
+        lengths = _huffman_lengths(hist, 15)
+        _write_prefix_code(bw, lengths)
+        # single-symbol codes read as ZERO bits — write nothing for them
+        codes.append(
+            _canonical_codes(lengths) if sum(1 for v in lengths if v) > 1 else None
+        )
+    chans = [
+        (vals.tolist(), cm)
+        for vals, cm in zip((g, r, b, a), codes[:4])
+        if cm is not None
+    ]
+    for i in range(len(g)):
+        for vals, cm in chans:
+            c, ln = cm[vals[i]]
+            bw.write_code(c, ln)
+
+
+def encode_webp(
+    arr: np.ndarray, subtract_green: bool = True, palette: bool = False
+) -> bytes:
     """(h, w, 3) uint8 RGB -> lossless WebP (VP8L), literal-only.
 
     ``subtract_green`` (default) stores (r-g, g, b-g) mod 256 behind
     the spec's SUBTRACT_GREEN transform — typically smaller codes for
     correlated channels, and it makes every own-encoded file (incl.
     the committed fixtures) exercise the decoder's transform-inverse
-    path, not just the hand-built test streams."""
+    path, not just the hand-built test streams.
+
+    ``palette=True`` (opt-in; raises past 256 distinct colors) emits
+    the COLOR_INDEXING transform instead: delta-coded palette entries
+    plus bundled indices — <=16 colors pack 2-8 indices per coded
+    pixel, shrinking both the stream and the decode (the bundled
+    image rides the vectorized literal fast path at 1/2-1/8 width,
+    then one palette gather). Default off so committed fixture bytes
+    stay stable; roundtrip exactness is profile-independent."""
     if arr.ndim != 3 or arr.shape[2] != 3 or arr.dtype != np.uint8:
         raise ValueError("encode_webp expects (h, w, 3) uint8")
     h, w, _ = arr.shape
@@ -314,52 +365,77 @@ def encode_webp(arr: np.ndarray, subtract_green: bool = True) -> bytes:
     bw.write(h - 1, 14)
     bw.write(0, 1)  # alpha hint: unused
     bw.write(0, 3)  # version
+    n = w * h
+    ones = np.full(n, 255, dtype=np.uint8)
+    if palette:
+        packed24 = (
+            arr[:, :, 0].astype(np.int32) << 16
+            | arr[:, :, 1].astype(np.int32) << 8
+            | arr[:, :, 2].astype(np.int32)
+        ).ravel()
+        pal_vals, idx = np.unique(packed24, return_inverse=True)
+        n_colors = int(pal_vals.shape[0])
+        if n_colors > 256:
+            raise ValueError(
+                f"webp: palette profile needs <=256 distinct colors, got {n_colors}"
+            )
+        bw.write(1, 1)  # a transform follows
+        bw.write(3, 2)  # COLOR_INDEXING
+        bw.write(n_colors - 1, 8)
+        pal = np.stack(
+            [
+                pal_vals >> 16 & 255,
+                pal_vals >> 8 & 255,
+                pal_vals & 255,
+                np.full(n_colors, 255, dtype=np.int32),
+            ],
+            axis=1,
+        )
+        # entries stream delta-coded: first is absolute, rest diffs
+        deltas = np.empty_like(pal)
+        deltas[0] = pal[0]
+        deltas[1:] = (pal[1:] - pal[:-1]) & 255
+        deltas = deltas.astype(np.uint8)
+        _write_literal_image(
+            bw, deltas[:, 1], deltas[:, 0], deltas[:, 2], deltas[:, 3], level0=False
+        )
+        bw.write(0, 1)  # no more transforms
+        wb = 3 if n_colors <= 2 else 2 if n_colors <= 4 else (
+            1 if n_colors <= 16 else 0
+        )
+        if wb:
+            per, bits = 1 << wb, 8 >> wb
+            pw = (w + per - 1) // per
+            full = np.zeros((h, pw * per), dtype=np.int64)
+            full[:, :w] = idx.reshape(h, w)
+            shifts = np.arange(per, dtype=np.int64) * bits
+            g = (
+                (full.reshape(h, pw, per) << shifts).sum(axis=2).astype(np.uint8)
+            ).ravel()
+        else:
+            g = idx.astype(np.uint8)
+        zeros = np.zeros(g.shape[0], dtype=np.uint8)
+        _write_literal_image(
+            bw, g, zeros, zeros, np.full(g.shape[0], 255, np.uint8), level0=True
+        )
+        payload = b"\x2f" + bw.bytes()
+        if len(payload) & 1:
+            chunk = payload + b"\x00"
+        else:
+            chunk = payload
+        riff = b"WEBP" + b"VP8L" + struct.pack("<I", len(payload)) + chunk
+        return b"RIFF" + struct.pack("<I", len(riff)) + riff
     if subtract_green:
         bw.write(1, 1)  # a transform follows
         bw.write(2, 2)  # SUBTRACT_GREEN (no payload)
     bw.write(0, 1)  # no more transforms
-    bw.write(0, 1)  # no color cache
-    bw.write(0, 1)  # no meta prefix codes
     g = arr[:, :, 1].ravel()
     r = arr[:, :, 0].ravel()
     b = arr[:, :, 2].ravel()
     if subtract_green:
         r = (r.astype(np.int16) - g).astype(np.uint8)
         b = (b.astype(np.int16) - g).astype(np.uint8)
-    green_hist = np.zeros(256 + _NUM_LENGTH_PREFIXES, dtype=np.int64)
-    np.add.at(green_hist, g, 1)
-    red_hist = np.bincount(r, minlength=256).astype(np.int64)
-    blue_hist = np.bincount(b, minlength=256).astype(np.int64)
-    alpha_hist = np.zeros(256, dtype=np.int64)
-    alpha_hist[255] = 1  # constant alpha -> 1-symbol simple code
-    dist_hist = np.zeros(40, dtype=np.int64)
-    dist_hist[0] = 1  # unused -> 1-symbol simple code
-    lens = {}
-    for name, hist, cap in (
-        ("green", green_hist, 15),
-        ("red", red_hist, 15),
-        ("blue", blue_hist, 15),
-        ("alpha", alpha_hist, 15),
-        ("dist", dist_hist, 15),
-    ):
-        lengths = _huffman_lengths(hist, cap)
-        _write_prefix_code(bw, lengths)
-        # single-symbol codes read as ZERO bits — write nothing for them
-        lens[name] = (
-            _canonical_codes(lengths) if sum(1 for v in lengths if v) > 1 else None
-        )
-    gcodes, rcodes, bcodes = lens["green"], lens["red"], lens["blue"]
-    # literal pixels: green, red, blue (alpha is the 0-bit single code)
-    for gi, ri, bi in zip(g.tolist(), r.tolist(), b.tolist()):
-        if gcodes is not None:
-            c, ln = gcodes[gi]
-            bw.write_code(c, ln)
-        if rcodes is not None:
-            c, ln = rcodes[ri]
-            bw.write_code(c, ln)
-        if bcodes is not None:
-            c, ln = bcodes[bi]
-            bw.write_code(c, ln)
+    _write_literal_image(bw, g, r, b, ones, level0=True)
     payload = b"\x2f" + bw.bytes()
     if len(payload) & 1:
         chunk = payload + b"\x00"

@@ -61,6 +61,73 @@ def test_roundtrip_hypothesis_exact():
     prop()
 
 
+@pytest.mark.parametrize("k", [1, 2, 3, 4, 9, 16, 17, 200, 256])
+def test_roundtrip_palette_profile_exact(k):
+    """The opt-in palette (COLOR_INDEXING) encode profile roundtrips
+    exactly across every bundling width (k<=2 -> 8 idx/px, <=4 -> 4,
+    <=16 -> 2, else unbundled) including partial last bundles (w=11)
+    — real encoder output through the full transform decode path, not
+    a hand-built stream."""
+    rng = np.random.default_rng(k)
+    pal = rng.integers(0, 256, (k, 3), dtype=np.uint8)
+    img = pal[rng.integers(0, k, (13, 11))]
+    assert np.array_equal(decode_webp(encode_webp(img, palette=True)), img)
+
+
+def test_palette_profile_compresses_and_rejects():
+    """Palette beats the literal profile on a genuinely low-color
+    image, and refuses (loudly) past 256 distinct colors — it never
+    silently falls back to a different stream shape."""
+    rng = np.random.default_rng(3)
+    pal = rng.integers(0, 256, (16, 3), dtype=np.uint8)
+    img = pal[rng.integers(0, 16, (48, 64))]
+    assert len(encode_webp(img, palette=True)) < len(encode_webp(img))
+    hi = rng.integers(0, 256, (32, 32, 3), dtype=np.uint8)
+    with pytest.raises(ValueError, match="256 distinct colors"):
+        encode_webp(hi, palette=True)
+
+
+def test_roundtrip_palette_hypothesis_exact():
+    """Property: any low-color image roundtrips exactly through the
+    palette profile (palette build, delta coding, bundling, and the
+    decoder's gather inverse all under hypothesis shrinking)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=80, deadline=None)
+    @given(
+        st.integers(1, 20),
+        st.integers(1, 12),
+        st.integers(1, 12),
+        st.integers(0, 2**32 - 1),
+    )
+    def prop(k, h, w, seed):
+        rng = np.random.default_rng(seed)
+        pal = rng.integers(0, 256, (k, 3), dtype=np.uint8)
+        img = pal[rng.integers(0, k, (h, w))]
+        assert np.array_equal(decode_webp(encode_webp(img, palette=True)), img)
+
+    prop()
+
+
+def test_literal_profile_bytes_pinned_to_fixtures():
+    """Encoder byte-stability: the default (literal) profile must
+    reproduce the committed fixture corpus bytes exactly — a silent
+    encoder drift would desync fixtures regenerated later from the
+    goldens every other test pins against."""
+    import pathlib
+
+    import pyarrow.parquet as pq
+
+    fx = pathlib.Path(__file__).resolve().parents[1] / "fixtures" / "images.parquet"
+    df = pq.read_table(fx).to_pandas()
+    rows = df[df.fmt == "webp"]
+    assert len(rows) >= 4
+    for _, row in rows.iterrows():
+        arr = imagecodec.synth_image(row.image_id, row.w, row.h)
+        assert encode_webp(arr) == bytes(row["bytes"]), row.image_id
+
+
 def test_roundtrip_fuzz_exact():
     rng = np.random.RandomState(99)
     for _ in range(150):
