@@ -48,6 +48,14 @@ def main():
                          best_us_per_px(lambda: webpcodec.decode_webp(blobs["webp"]), n)))
         finally:
             webpcodec.FAST_LITERAL = True
+        # palette profile: 16-color image of the same size — the
+        # bundled stream codes at 1/4 width, so decode cost drops
+        rng = np.random.default_rng(w)
+        pal = rng.integers(0, 256, (16, 3), dtype=np.uint8)
+        pimg = pal[rng.integers(0, 16, (h, w))]
+        pblob = webpcodec.encode_webp(pimg, palette=True)
+        rows.append(("webp (palette, 16 colors)", f"{w}x{h}",
+                     best_us_per_px(lambda: webpcodec.decode_webp(pblob), n)))
     print("| codec | size | decode µs/pixel |")
     print("|---|---|---|")
     for name, size, us in rows:
