@@ -299,6 +299,15 @@ def _write_prefix_code(bw: _BitWriter, lengths: list[int]):
         bw.write_code(code, clen)
 
 
+def _palette_width_bits(n_colors: int) -> int:
+    """COLOR_INDEXING bundling width (RFC 9649 §4.4.4): how many bits
+    each packed index takes is 8 >> wb, so wb=3 packs 8 indices per
+    coded pixel (<=2 colors), wb=2 packs 4 (<=4), wb=1 packs 2
+    (<=16), wb=0 none. Shared by encoder and decoder so the rule can
+    never drift between them."""
+    return 3 if n_colors <= 2 else 2 if n_colors <= 4 else (1 if n_colors <= 16 else 0)
+
+
 def _write_literal_image(bw: _BitWriter, g, r, b, a, level0: bool) -> None:
     """Write one literal-only spatially-coded image (RFC 9649 §4.3.2):
     cache off, no meta prefix codes (sub-resolution images carry no
@@ -365,8 +374,6 @@ def encode_webp(
     bw.write(h - 1, 14)
     bw.write(0, 1)  # alpha hint: unused
     bw.write(0, 3)  # version
-    n = w * h
-    ones = np.full(n, 255, dtype=np.uint8)
     if palette:
         packed24 = (
             arr[:, :, 0].astype(np.int32) << 16
@@ -400,9 +407,7 @@ def encode_webp(
             bw, deltas[:, 1], deltas[:, 0], deltas[:, 2], deltas[:, 3], level0=False
         )
         bw.write(0, 1)  # no more transforms
-        wb = 3 if n_colors <= 2 else 2 if n_colors <= 4 else (
-            1 if n_colors <= 16 else 0
-        )
+        wb = _palette_width_bits(n_colors)
         if wb:
             per, bits = 1 << wb, 8 >> wb
             pw = (w + per - 1) // per
@@ -418,24 +423,18 @@ def encode_webp(
         _write_literal_image(
             bw, g, zeros, zeros, np.full(g.shape[0], 255, np.uint8), level0=True
         )
-        payload = b"\x2f" + bw.bytes()
-        if len(payload) & 1:
-            chunk = payload + b"\x00"
-        else:
-            chunk = payload
-        riff = b"WEBP" + b"VP8L" + struct.pack("<I", len(payload)) + chunk
-        return b"RIFF" + struct.pack("<I", len(riff)) + riff
-    if subtract_green:
-        bw.write(1, 1)  # a transform follows
-        bw.write(2, 2)  # SUBTRACT_GREEN (no payload)
-    bw.write(0, 1)  # no more transforms
-    g = arr[:, :, 1].ravel()
-    r = arr[:, :, 0].ravel()
-    b = arr[:, :, 2].ravel()
-    if subtract_green:
-        r = (r.astype(np.int16) - g).astype(np.uint8)
-        b = (b.astype(np.int16) - g).astype(np.uint8)
-    _write_literal_image(bw, g, r, b, ones, level0=True)
+    else:
+        if subtract_green:
+            bw.write(1, 1)  # a transform follows
+            bw.write(2, 2)  # SUBTRACT_GREEN (no payload)
+        bw.write(0, 1)  # no more transforms
+        g = arr[:, :, 1].ravel()
+        r = arr[:, :, 0].ravel()
+        b = arr[:, :, 2].ravel()
+        if subtract_green:
+            r = (r.astype(np.int16) - g).astype(np.uint8)
+            b = (b.astype(np.int16) - g).astype(np.uint8)
+        _write_literal_image(bw, g, r, b, np.full(w * h, 255, np.uint8), level0=True)
     payload = b"\x2f" + bw.bytes()
     if len(payload) & 1:
         chunk = payload + b"\x00"
@@ -851,9 +850,7 @@ def _decode_vp8l(payload: bytes) -> np.ndarray:
             n_colors = br.read(8) + 1
             raw = _decode_image_stream(br, n_colors, 1, False)
             palette = np.cumsum(raw.astype(np.int32), axis=0).astype(np.uint8)
-            wb = 3 if n_colors <= 2 else 2 if n_colors <= 4 else (
-                1 if n_colors <= 16 else 0
-            )
+            wb = _palette_width_bits(n_colors)
             transforms.append((3, (wb, palette, cur_w)))
             cur_w = _subsample(cur_w, wb)
     out = _decode_image_stream(br, cur_w, h, True)

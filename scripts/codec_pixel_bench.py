@@ -49,7 +49,8 @@ def main():
         finally:
             webpcodec.FAST_LITERAL = True
         # palette profile: 16-color image of the same size — the
-        # bundled stream codes at 1/4 width, so decode cost drops
+        # bundled stream codes at 1/2 width (wb=1: 2 indices per
+        # coded pixel) and skips per-pixel entropy on r/b/a
         rng = np.random.default_rng(w)
         pal = rng.integers(0, 256, (16, 3), dtype=np.uint8)
         pimg = pal[rng.integers(0, 16, (h, w))]

@@ -61,16 +61,35 @@ def test_roundtrip_hypothesis_exact():
     prop()
 
 
+def _distinct_palette_image(k: int, h: int, w: int):
+    """An image with EXACTLY k distinct colors: a constructed
+    guaranteed-distinct palette (red channel = index), every entry
+    used at least once, remaining pixels seeded-random. A random
+    palette/indices pair can silently use fewer colors than k (a
+    13x11 image holds at most 143), which would void a boundary
+    case like k=256."""
+    assert h * w >= k
+    pal = np.stack(
+        [np.arange(k), (np.arange(k) * 37) % 256, (np.arange(k) * 91) % 256],
+        axis=1,
+    ).astype(np.uint8)
+    rng = np.random.default_rng(k)
+    idx = np.concatenate([np.arange(k), rng.integers(0, k, h * w - k)])
+    img = pal[idx.reshape(h, w)]
+    assert len(np.unique(img.reshape(-1, 3), axis=0)) == k
+    return img
+
+
 @pytest.mark.parametrize("k", [1, 2, 3, 4, 9, 16, 17, 200, 256])
 def test_roundtrip_palette_profile_exact(k):
     """The opt-in palette (COLOR_INDEXING) encode profile roundtrips
     exactly across every bundling width (k<=2 -> 8 idx/px, <=4 -> 4,
     <=16 -> 2, else unbundled) including partial last bundles (w=11)
-    — real encoder output through the full transform decode path, not
-    a hand-built stream."""
-    rng = np.random.default_rng(k)
-    pal = rng.integers(0, 256, (k, 3), dtype=np.uint8)
-    img = pal[rng.integers(0, k, (13, 11))]
+    and the exact 256-color boundary (the full 8-bit n_colors-1
+    field) — real encoder output through the full transform decode
+    path, not a hand-built stream."""
+    h, w = (13, 11) if k <= 16 else (24, 11)
+    img = _distinct_palette_image(k, h, w)
     assert np.array_equal(decode_webp(encode_webp(img, palette=True)), img)
 
 
