@@ -1,10 +1,13 @@
-"""VP8L (lossless WebP) codec tests — r06, VERDICT r05 #6.
+"""VP8L (lossless WebP) codec tests — r06 onward (VERDICT r05 #6).
 
-Own-encoder streams roundtrip EXACTLY (lossless); decoder-only spec
-features the encoder never emits (color cache, 1D LZ77, subtract-
-green, RLE code lengths, max_symbol cutoff) are exercised with
-hand-built spec-conformant streams; out-of-subset constructs fail
-loudly with their reason. Spec: RFC 9649 (public)."""
+Own-encoder streams roundtrip EXACTLY (lossless) on both profiles
+(literal + subtract-green default; opt-in COLOR_INDEXING palette);
+decoder-only spec features the encoder never emits (color cache,
+LZ77 with 1D and 2D distances, predictor / cross-color transforms,
+meta prefix groups, RLE code lengths, max_symbol cutoff) are
+exercised with hand-built spec-conformant streams checked against
+independent RFC-pseudocode transcriptions; out-of-subset constructs
+fail loudly with their reason. Spec: RFC 9649 (public)."""
 
 import numpy as np
 import pytest
