@@ -500,6 +500,18 @@ def test_fast_path_equals_reference_loop(monkeypatch):
             slow = decode_webp(blob)
             assert np.array_equal(fast, slow)
             assert np.array_equal(fast, arr)
+    # palette-profile streams decode BOTH sub-images (palette entries
+    # + bundled indices) through whichever path is active — pin the
+    # two paths equal on that shape too, across every bundling width
+    for k in (1, 2, 4, 16, 200):
+        img = _distinct_palette_image(k, 24, 11)
+        blob = encode_webp(img, palette=True)
+        monkeypatch.setattr(W, "FAST_LITERAL", True)
+        fast = decode_webp(blob)
+        monkeypatch.setattr(W, "FAST_LITERAL", False)
+        slow = decode_webp(blob)
+        assert np.array_equal(fast, slow)
+        assert np.array_equal(fast, img)
 
 
 def test_fast_path_engages_and_rejects_truncation(monkeypatch):
