@@ -347,11 +347,12 @@ def _write_literal_image(bw: _BitWriter, g, r, b, a, level0: bool) -> None:
 
 
 def encode_webp(
-    arr: np.ndarray, subtract_green: bool = True, palette: bool = False
+    arr: np.ndarray, subtract_green: bool | None = None, palette: bool = False
 ) -> bytes:
     """(h, w, 3) uint8 RGB -> lossless WebP (VP8L), literal-only.
 
-    ``subtract_green`` (default) stores (r-g, g, b-g) mod 256 behind
+    ``subtract_green`` (default on for the literal profile) stores
+    (r-g, g, b-g) mod 256 behind
     the spec's SUBTRACT_GREEN transform — typically smaller codes for
     correlated channels, and it makes every own-encoded file (incl.
     the committed fixtures) exercise the decoder's transform-inverse
@@ -366,6 +367,16 @@ def encode_webp(
     stay stable; roundtrip exactness is profile-independent."""
     if arr.ndim != 3 or arr.shape[2] != 3 or arr.dtype != np.uint8:
         raise ValueError("encode_webp expects (h, w, 3) uint8")
+    if palette and subtract_green:
+        # the profiles are mutually exclusive (ADVICE r07): the palette
+        # stream carries raw-RGB entries + indices, so an explicitly
+        # requested SUBTRACT_GREEN would be silently dropped — refuse
+        raise ValueError(
+            "webp: subtract_green=True and palette=True are mutually "
+            "exclusive profiles"
+        )
+    if subtract_green is None:
+        subtract_green = not palette
     h, w, _ = arr.shape
     if not (1 <= w <= 16384 and 1 <= h <= 16384):
         raise ValueError("webp: dimensions out of VP8L range")
@@ -756,6 +767,13 @@ def _decode_image_stream(br: _BitReader, w: int, h: int, is_level0: bool) -> np.
         meta = _decode_image_stream(br, meta_tw, meta_th, False)
         # group index = (red << 8) | green of the entropy-image pixel
         midx = (meta[:, 0].astype(np.int32) << 8) | meta[:, 1].astype(np.int32)
+        # n_groups = max index + 1 per spec — a sparse index set (legal)
+        # forces parsing unreferenced groups, so a hostile entropy image
+        # can demand up to 65536 parses. No cap: capping at the tile
+        # count would reject spec-legal sparse streams, and the cost is
+        # already input-bounded — every group consumes >=5 bits (one
+        # "simple?" bit per prefix code) and truncation raises, so a
+        # tiny stream cannot pay for many groups (ADVICE r07).
         n_groups = int(midx.max()) + 1
     groups = [_read_prefix_group(br, cache_size) for _ in range(n_groups)]
     n = w * h
@@ -1000,9 +1018,11 @@ def _inv_palette(
     """Inverse color-indexing transform (RFC 9649 §4.4.4): unbundle
     packed indices from the green channel (wb = width_bits; 1 << wb
     indices per packed pixel, each 8 >> wb bits, LSB-first = leftmost)
-    then look up the delta-decoded palette. Indices past the palette
-    decode to transparent black per the spec — which the RGB-subset
-    alpha check then rejects loudly."""
+    then look up the delta-decoded palette. The spec decodes an
+    out-of-palette index to transparent black; in this RGB-only
+    subset that pixel could only be rejected later by the opaque-alpha
+    gate with a misleading message, so the range check raises its own
+    error here instead (ADVICE r07)."""
     if wb == 0:
         idx = out[:, 1].astype(np.int64)
     else:
@@ -1012,7 +1032,6 @@ def _inv_palette(
         shifts = np.arange(per, dtype=np.int64) * bits
         idx = (green[:, :, None] >> shifts) & ((1 << bits) - 1)
         idx = idx.reshape(h, pw * per)[:, :w].reshape(-1)
-    oob = idx >= palette.shape[0]
-    res = palette[np.minimum(idx, palette.shape[0] - 1)].copy()
-    res[oob] = 0  # spec: out-of-palette index = 0x00000000
-    return res
+    if int(idx.max(initial=0)) >= palette.shape[0]:
+        raise ValueError("webp: color index out of palette range")
+    return palette[idx].copy()

@@ -848,9 +848,9 @@ def test_decoder_color_indexing_bundled():
 
 
 def test_decoder_color_indexing_oob_index_fails_loudly():
-    """An index past the palette decodes to transparent black per the
-    spec — which the RGB-subset alpha gate must then reject loudly
-    rather than emit garbage pixels."""
+    """An index past the palette (transparent black per the spec) must
+    raise its own range error at the lookup, not surface as a
+    misleading downstream alpha failure (ADVICE r07)."""
     bw = W._BitWriter()
     _header(bw, 4, 1)
     bw.write(1, 1)
@@ -862,8 +862,26 @@ def test_decoder_color_indexing_oob_index_fails_loudly():
     bw.write(0, 1)
     packed = 0 | (1 << 2) | (2 << 4) | (3 << 6)  # last index OOB
     _write_image_stream(bw, [(0, packed, 0, 255)], level0=True)
-    with pytest.raises(NotImplementedError, match="alpha"):
+    with pytest.raises(ValueError, match="palette range"):
         decode_webp(_container(bw))
+
+
+def test_encoder_palette_and_subtract_green_are_exclusive():
+    """encode_webp(palette=True, subtract_green=True) must refuse —
+    the palette stream has no SUBTRACT_GREEN slot, so an explicit
+    request would be silently dropped (ADVICE r07). Leaving
+    subtract_green unset keeps each profile's default."""
+    img = np.zeros((4, 4, 3), np.uint8)
+    img[:, :, 0] = 7
+    with pytest.raises(ValueError, match="mutually"):
+        W.encode_webp(img, subtract_green=True, palette=True)
+    # unset: literal profile defaults subtract_green ON, palette OFF
+    assert np.array_equal(decode_webp(W.encode_webp(img)), img)
+    assert np.array_equal(decode_webp(W.encode_webp(img, palette=True)), img)
+    # explicit False stays valid with either profile
+    assert np.array_equal(
+        decode_webp(W.encode_webp(img, subtract_green=False, palette=True)), img
+    )
 
 
 def test_decoder_meta_prefix_groups():
