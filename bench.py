@@ -68,6 +68,28 @@ def vm_calibration() -> float:
     return round(time.time() - t0, 3)
 
 
+CAL_NOMINAL = 0.38
+CAL_FACTOR = float(os.environ.get("CRAWLSPARK_BENCH_CAL_FACTOR", "1.5"))
+CAL_RETRIES = int(os.environ.get("CRAWLSPARK_BENCH_CAL_RETRIES", "8"))
+CAL_SETTLE = float(os.environ.get("CRAWLSPARK_BENCH_CAL_SETTLE", "20"))
+
+
+def wait_for_quiet_vm(tag: str, attempts_log: dict) -> float:
+    """Calibration-gated settle policy (VERDICT r07 #1): never time a
+    crawl leg through a known-polluted VM window. Burn the single-core
+    calibration; while it reads > CAL_FACTOR x nominal, sleep
+    CAL_SETTLE s and re-burn, up to CAL_RETRIES times. Every reading
+    lands in the JSON under calibration_attempts[tag] — if the VM
+    never goes quiet, the record carries its own proof instead of a
+    silently slow leg. Returns the final reading."""
+    readings = [vm_calibration()]
+    while readings[-1] > CAL_NOMINAL * CAL_FACTOR and len(readings) <= CAL_RETRIES:
+        time.sleep(CAL_SETTLE)
+        readings.append(vm_calibration())
+    attempts_log[tag] = readings
+    return readings[-1]
+
+
 def build_spark(cpus: str = CPUS):
     from pyspark.sql import SparkSession
 
@@ -214,7 +236,7 @@ def _drain(spark, n_hosts, branching, depth, hot, bucketed: bool = False) -> tup
     return secs, {"fetched": fetched, "urls_per_sec": round(fetched / secs, 1)}
 
 
-def bench_crawl(spark) -> tuple[float, dict, float, dict, float, dict, dict]:
+def bench_crawl(spark, attempts_log: dict) -> tuple[float, dict, float, dict, float, dict, dict]:
     # untimed warmup: spins up the JVM codegen paths + reusable Python
     # workers so the timed drains measure steady-state crawl throughput,
     # not one-time process startup (the deep drain is only ~10 s of
@@ -236,6 +258,12 @@ def bench_crawl(spark) -> tuple[float, dict, float, dict, float, dict, dict]:
         best = min(runs, key=lambda t: t[0])
         return best[0], best[1], [round(r[0], 3) for r in runs]
 
+    # calibration gate before EVERY timed crawl leg (VERDICT r07 #1):
+    # the wide <=18 s sub-target missed two straight rounds purely on
+    # polluted VM windows (clean-run 17.13 vs records 19.66/19.51) —
+    # settle+retry until the single-core burn reads quiet, with the
+    # full attempt trail in the JSON either way
+    wait_for_quiet_vm("crawl_deep", attempts_log)
     deep_secs, deep, deep_samples = _best2(
         lambda: _drain(spark, N_HOSTS, BRANCHING, DEPTH, HOT), n=3
     )
@@ -245,10 +273,12 @@ def bench_crawl(spark) -> tuple[float, dict, float, dict, float, dict, dict]:
     # Measured: wide 5411 -> 7439 URLs/s. CRAWLSPARK_BENCH_BUCKETED=0
     # opts out (plain parquet corpus).
     bucketed = os.environ.get("CRAWLSPARK_BENCH_BUCKETED", "1") != "0"
+    wait_for_quiet_vm("crawl_wide", attempts_log)
     wide_secs, wide, wide_samples = _best2(
         lambda: _drain(spark, WIDE_HOSTS, WIDE_BRANCHING, 1, HOT, bucketed=bucketed),
         n=3,
     )
+    wait_for_quiet_vm("crawl_payload", attempts_log)
     pay_secs, pay, pay_samples = _best2(
         lambda: _payload_drain(spark, PAY_HOSTS, PAY_BRANCHING, HOT), n=3
     )
@@ -321,11 +351,14 @@ def bench_queries(spark) -> dict[str, float]:
 
 
 def main():
-    cal_pre = vm_calibration()
+    attempts_log: dict = {}
+    cal_pre = wait_for_quiet_vm("pre", attempts_log)
     spark = build_spark()
     spark.sparkContext.setLogLevel("ERROR")
 
-    deep_secs, deep, wide_secs, wide, pay_secs, pay, crawl_samples = bench_crawl(spark)
+    deep_secs, deep, wide_secs, wide, pay_secs, pay, crawl_samples = bench_crawl(
+        spark, attempts_log
+    )
     # fresh JVM for the query section: a 400k-URL crawl leaves the
     # executor heap GC-pressured, which measured a ~4x slowdown on the
     # heaviest pure-JVM query (minhash 1.1 s fresh vs 4.3 s after a
@@ -366,7 +399,11 @@ def main():
         # queries; nominal ~0.36-0.40 s on a quiet VM (vm_calibration
         # docstring) — normalize leg times by (nominal / observed)
         "calibration_sec": [cal_pre, cal_post],
-        "calibration_nominal_sec": 0.38,
+        "calibration_nominal_sec": CAL_NOMINAL,
+        # settle/retry trail (VERDICT r07 #1): every calibration burn
+        # taken while gating the legs — "pre" plus one list per crawl
+        # leg; a leg timed after an un-quiet trail is self-evident here
+        "calibration_attempts": attempts_log,
     }
     print(json.dumps(result))
 
