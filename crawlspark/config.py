@@ -67,6 +67,14 @@ class CrawlConfig:
     # seen-set crosses this many rows (one-time backfill mark): below it
     # the exact anti-join is cheaper than the probe/mark jobs the bloom
     # adds per wave; at 10^8+ seen rows the prefilter is the win
+    seen_join_shape: str = "semi"  # verify-join shape once the prefilter
+    # is active (VERDICT r07 #2): "semi" = hits := seen ⋉ maybe-keys,
+    # then probed ⋉̸ hits — the accumulated seen side is SCANNED (one
+    # pruned column) but never shuffled or sorted, because both joins
+    # build on the wave-bounded side; "anti" = legacy maybe ⋉̸ seen,
+    # which shuffle+sorts the entire seen history every wave (the one
+    # per-wave cost that grew with crawl history). Output identical,
+    # pinned by test_seen_join_shape_equality.
     per_host_budget: int | None = None  # max fetches per host per wave (None = unlimited)
     hot_host_salt_threshold: int = 10_000  # rows/host above which to salt-split
     # exact-cap politeness (VERDICT r04 #5, opt-in): distribute the

@@ -611,10 +611,44 @@ class SparkCrawler:
         )
 
     def _dedup_against_seen(self, cand: DataFrame, seen: DataFrame | None, bits: DataFrame | None):
+        """Exact seen-set dedup (A7, crawler.go:240-247) behind the
+        probabilistic prefilter.
+
+        Prefilter-active path ("semi", VERDICT r07 #2): the legacy
+        shape anti-joined the maybe rows against the FULL seen history
+        — Catalyst plans that as a sort-merge join once seen outgrows
+        the broadcast threshold, shuffling and sorting every seen
+        url_key on EVERY wave, the one per-wave cost that grew with
+        crawl history (O(waves x seen) bytes through the shuffle at
+        10^10 URLs). The semi shape inverts the join direction:
+
+            hits = seen ⋉ maybe_keys   (seen is the STREAM side)
+            new  = probed ⋉̸ hits
+
+        Both joins build their hash table on the wave-bounded side
+        (maybe_keys, then hits ⊆ maybe_keys), so the seen history is
+        scanned — one column, parquet-pruned, embarrassingly parallel
+        — but never shuffled or sorted. When maybe_keys fits the
+        broadcast threshold (the common case: bloom false positives +
+        true dupes of one wave) even the scan is map-side with zero
+        exchange on the seen side; past it, AQE falls back to a
+        shuffle of the WAVE-sized sides only. A fresh row (bloom says
+        definitely-unseen) can't be in seen, hence never in hits, so
+        the anti-join over all probed rows preserves it — no
+        fresh/maybe union split needed. Output is identical to the
+        legacy shape (pinned by test_seen_join_shape_equality);
+        cfg.seen_join_shape="anti" keeps the old plan for A/B
+        (scripts/seen_scan_bench.py)."""
         if seen is None:
             return cand
         if self.cfg.bloom_prefilter and bits is not None:
             probed = self.seenfilter.probe(cand, bits, "url_key", self.bloom_cfg)
+            if self.cfg.seen_join_shape == "semi":
+                maybe_keys = probed.filter(F.col("_maybe_seen")).select("url_key")
+                hits = seen.select("url_key").join(maybe_keys, "url_key", "left_semi")
+                return probed.drop("_maybe_seen", "_h64", "_shard").join(
+                    hits, "url_key", "left_anti"
+                )
             fresh = probed.filter(~F.col("_maybe_seen")).drop("_maybe_seen", "_h64", "_shard")
             maybe = probed.filter(F.col("_maybe_seen")).drop("_maybe_seen", "_h64", "_shard")
             verified = maybe.join(seen.select("url_key"), "url_key", "left_anti")

@@ -522,6 +522,34 @@ def test_bloom_prefilter_correctness(spark, tmp_path):
     assert outs["on"] == outs["off"] == outs["lazy"]
 
 
+def test_seen_join_shape_equality(spark, tmp_path):
+    """cfg.seen_join_shape 'semi' (seen ⋉ maybe-keys, then probed ⋉̸
+    hits — the seen history never shuffles) vs legacy 'anti' (maybe ⋉̸
+    seen): identical emitted rows and seen-set. Tiny bloom shards force
+    real false positives so the semi path's hits set is non-trivial,
+    and bloom_min_seen=0 keeps the prefilter (and with it the shaped
+    verify join) active from wave 0 (VERDICT r07 #2)."""
+    pages_pdf, robots_pdf, seeds = testkit.nice_site(branching=4, max_id_len=3)
+    outs = {}
+    for shape in ("semi", "anti"):
+        cfg = CrawlConfig(From=seeds, MaxDepth=2, RespectNofollow=True,
+                          bloom_prefilter=True, bloom_shards=4,
+                          bloom_min_seen=0, seen_join_shape=shape,
+                          bloom_bits_per_shard=1 << 12)  # tiny shards -> real FPs
+        c = SparkCrawler(
+            spark, cfg,
+            testkit.pages_to_spark(spark, pages_pdf),
+            testkit.robots_to_spark(spark, robots_pdf),
+            workdir=str(tmp_path / f"shape-{shape}"),
+        )
+        c.run()
+        outs[shape] = (
+            sorted(tuple(r) for r in c.results().select("Depth", "Priority", "UrlKey").collect()),
+            {r["url_key"] for r in c.seen().collect()},
+        )
+    assert outs["semi"] == outs["anti"]
+
+
 def test_cuckoo_seen_filter_correctness(spark, tmp_path):
     """seen_filter='cuckoo': same emitted rows and seen-set as the
     bloom backend and as no-prefilter — the cuckoo filter is the
