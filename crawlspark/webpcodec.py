@@ -9,11 +9,13 @@ the crawl engine's payload invariant (input_hint: decoded-pixel
 allclose; lossless ⇒ exact equality) on the image+caption corpus.
 
 Encoder (``encode_webp``): literal-pixel spatially coded streams (no
-LZ77 backward references, color cache, or meta prefix codes) behind
-an optional transform: SUBTRACT_GREEN by default, or the opt-in
-COLOR_INDEXING palette profile (``palette=True``, ≤256 distinct
-colors — delta-coded entries + bundled indices, so ≤16-color images
-code at 1/2-1/8 width). Each of the five prefix codes is either a
+color cache or meta prefix codes) behind an optional transform:
+SUBTRACT_GREEN by default, or the opt-in COLOR_INDEXING palette
+profile (``palette=True``, ≤256 distinct colors — delta-coded entries
++ bundled indices, so ≤16-color images code at 1/2-1/8 width), plus
+an opt-in LZ77 profile (``lz77=True``: greedy dist-1/dist-width run
+matching — repeated rows and horizontal runs collapse to one
+length+distance token). Each of the five prefix codes is either a
 "simple" code (≤2 symbols) or a normal code-length-coded canonical
 prefix code. These are strictly spec-compliant streams: any
 conformant WebP decoder reads them.
@@ -31,13 +33,17 @@ image) container — pixel-neutral VP8X metadata chunks
 with the reason (lossy VP8/ALPH, animated VP8X, non-opaque DECODED
 alpha — the crawl corpus is RGB) — never a silent wrong decode.
 
-Literal-only streams with no color cache (every own-encoded file)
-decode on a fully vectorized numpy path: 15-bit-window LUTs decode
-SPECULATIVELY at every bit position, and pointer doubling over the
-per-position pixel-transition map recovers the true start positions
-in log2(n) gathers (``_literal_decode_fast``; ``FAST_LITERAL=False``
-pins the per-pixel reference loop, and the two are pinned equal by
-tests/test_webpcodec.py).
+Cache-less single-group streams (every own-encoded file and the
+common foreign shape) decode on fully vectorized numpy paths:
+15-bit-window LUTs decode SPECULATIVELY at every bit position, and
+pointer doubling over the per-position transition map recovers the
+true start positions in log2(n) gathers — at the pixel level for
+literal-only streams (``_literal_decode_fast``) and at the TOKEN
+level when the green code carries LZ77 length symbols
+(``_lz77_decode_fast``: literals scatter in one gather, backward
+references apply per token as slice/tile copies).
+``FAST_LITERAL=False`` pins the per-pixel reference loop, and the
+paths are pinned bit-identical by tests/test_webpcodec.py.
 
 Bit order is LSB-first within bytes (DEFLATE-style); canonical prefix
 codes are read bit-by-bit MSB-of-code-first, exactly the DEFLATE
@@ -346,8 +352,115 @@ def _write_literal_image(bw: _BitWriter, g, r, b, a, level0: bool) -> None:
             bw.write_code(c, ln)
 
 
+def _write_lz77_image(bw: _BitWriter, g, r, b, a, width: int) -> None:
+    """Write one spatially-coded image with greedy LZ77 run matching
+    (RFC 9649 §4.2.2; cache off, no meta prefix codes): vectorized
+    dist-1 / dist-width run detection, then literal tokens elsewhere.
+    Those two distances cover the run-fill idioms (horizontal runs and
+    repeated rows) that dominate repetitive images; both are emitted
+    as 1D distances (plane code = dist + 120). The token loop is
+    per-TOKEN, not per pixel — a long run is one green length code +
+    one distance code."""
+    n = len(g)
+    px = np.stack([g, r, b, a], axis=1)
+    eq1 = np.zeros(n, dtype=bool)
+    if n > 1:
+        eq1[1:] = (px[1:] == px[:-1]).all(axis=1)
+    eqw = np.zeros(n, dtype=bool)
+    if n > width:
+        eqw[width:] = (px[width:] == px[:-width]).all(axis=1)
+
+    def _runlen(e: np.ndarray) -> np.ndarray:
+        # out[i] = length of the consecutive-True run starting at i:
+        # cumsum minus the cumsum at the last False, on the reversed
+        # array (run ending at i reversed = run starting at i)
+        rev = e[::-1].astype(np.int64)
+        cs = np.cumsum(rev)
+        reset = np.maximum.accumulate(np.where(rev == 0, cs, 0))
+        return (cs - reset)[::-1]
+
+    run1 = _runlen(eq1)
+    runw = _runlen(eqw)
+    # a copy costs ~(length code + distance code + extras); only take
+    # runs long enough to beat the literals they replace
+    min_run = 4
+    tokens: list[tuple] = []  # ("l", pixel index) | ("c", length, dist)
+    i = 0
+    while i < n:
+        ln1, lnw = int(run1[i]), int(runw[i])
+        ln, d = (ln1, 1) if ln1 >= lnw else (lnw, width)
+        if ln >= min_run:
+            ln = min(ln, _MAX_LZ77_LEN)
+            tokens.append(("c", ln, d))
+            i += ln
+        else:
+            tokens.append(("l", i))
+            i += 1
+
+    green_hist = np.zeros(256 + _NUM_LENGTH_PREFIXES, dtype=np.int64)
+    r_hist = np.zeros(256, dtype=np.int64)
+    b_hist = np.zeros(256, dtype=np.int64)
+    a_hist = np.zeros(256, dtype=np.int64)
+    dist_hist = np.zeros(40, dtype=np.int64)
+    coded: list[tuple] = []
+    for tok in tokens:
+        if tok[0] == "l":
+            j = tok[1]
+            green_hist[g[j]] += 1
+            r_hist[r[j]] += 1
+            b_hist[b[j]] += 1
+            a_hist[a[j]] += 1
+            coded.append(tok)
+            continue
+        _kind, ln, d = tok
+        lcode, lbits, lextra = _prefix_encode_value(ln)
+        dcode, dbits, dextra = _prefix_encode_value(d + 120)  # 1D distance
+        if lcode >= _NUM_LENGTH_PREFIXES or dcode >= 40:
+            raise ValueError("webp: LZ77 token out of prefix range")
+        green_hist[256 + lcode] += 1
+        dist_hist[dcode] += 1
+        coded.append(("c", lcode, lbits, lextra, dcode, dbits, dextra))
+    if not dist_hist.any():
+        dist_hist[0] = 1  # unused -> 1-symbol simple code
+
+    bw.write(0, 1)  # no color cache
+    bw.write(0, 1)  # no meta prefix codes
+    codes = []
+    for hist in (green_hist, r_hist, b_hist, a_hist, dist_hist):
+        lengths = _huffman_lengths(hist, 15)
+        _write_prefix_code(bw, lengths)
+        # single-symbol codes read as ZERO bits — write nothing for them
+        codes.append(
+            _canonical_codes(lengths) if sum(1 for v in lengths if v) > 1 else None
+        )
+    gc, rc, bc, ac, dc = codes
+
+    def _emit(cm, sym):
+        if cm is not None:
+            bw.write_code(*cm[sym])
+
+    for tok in coded:
+        if tok[0] == "l":
+            j = tok[1]
+            _emit(gc, g[j])
+            _emit(rc, r[j])
+            _emit(bc, b[j])
+            _emit(ac, a[j])
+        else:
+            _kind, lcode, lbits, lextra, dcode, dbits, dextra = tok
+            _emit(gc, 256 + lcode)
+            if lbits:
+                bw.write(lextra, lbits)
+            _emit(dc, dcode)
+            if dbits:
+                bw.write(dextra, dbits)
+
+
 def encode_webp(
-    arr: np.ndarray, subtract_green: bool | None = None, palette: bool = False
+    arr: np.ndarray,
+    subtract_green: bool | None = None,
+    palette: bool = False,
+    lz77: bool = False,
 ) -> bytes:
     """(h, w, 3) uint8 RGB -> lossless WebP (VP8L), literal-only.
 
@@ -364,9 +477,23 @@ def encode_webp(
     pixel, shrinking both the stream and the decode (the bundled
     image rides the vectorized literal fast path at 1/2-1/8 width,
     then one palette gather). Default off so committed fixture bytes
-    stay stable; roundtrip exactness is profile-independent."""
+    stay stable; roundtrip exactness is profile-independent.
+
+    ``lz77=True`` (opt-in) adds greedy dist-1 / dist-width run
+    matching (RFC 9649 §4.2.2 backward references) on top of the
+    literal profile — long horizontal runs and repeated rows collapse
+    to one length+distance token each, and the stream exercises the
+    decoder's token-level vectorized LZ77 path with own-encoded real
+    files (VERDICT r07 #5)."""
     if arr.ndim != 3 or arr.shape[2] != 3 or arr.dtype != np.uint8:
         raise ValueError("encode_webp expects (h, w, 3) uint8")
+    if palette and lz77:
+        # one profile per stream: bundled palette indices could in
+        # principle be LZ77-coded too, but the combination is untested
+        # ground — refuse rather than emit an unexercised shape
+        raise ValueError(
+            "webp: palette=True and lz77=True are mutually exclusive profiles"
+        )
     if palette and subtract_green:
         # the profiles are mutually exclusive (ADVICE r07): the palette
         # stream carries raw-RGB entries + indices, so an explicitly
@@ -445,7 +572,11 @@ def encode_webp(
         if subtract_green:
             r = (r.astype(np.int16) - g).astype(np.uint8)
             b = (b.astype(np.int16) - g).astype(np.uint8)
-        _write_literal_image(bw, g, r, b, np.full(w * h, 255, np.uint8), level0=True)
+        alpha = np.full(w * h, 255, np.uint8)
+        if lz77:
+            _write_lz77_image(bw, g, r, b, alpha, w)
+        else:
+            _write_literal_image(bw, g, r, b, alpha, level0=True)
     payload = b"\x2f" + bw.bytes()
     if len(payload) & 1:
         chunk = payload + b"\x00"
@@ -637,6 +768,205 @@ def _literal_decode_fast(
     return out, int(pos[-1])
 
 
+# LZ77 length prefix 23 reaches (3 << 10) + 1023 + 1 = 4096 pixels —
+# the spec-maximal single-token emission (RFC 9649 §4.2.2)
+_MAX_LZ77_LEN = 4096
+
+
+def _prefix_encode_value(v: int) -> tuple[int, int, int]:
+    """Inverse of _prefix_value: value -> (prefix code, n extra bits,
+    extra value). Values 1..4 are codes 0..3 with no extra bits; past
+    that code 2e+2 covers [2<<e, 3<<e) and 2e+3 covers [3<<e, 4<<e)
+    of t = value-1, with e low bits of t as the extra."""
+    t = v - 1
+    if t < 4:
+        return t, 0, 0
+    e = t.bit_length() - 2
+    if t < (3 << e):
+        return 2 * e + 2, e, t - (2 << e)
+    return 2 * e + 3, e, t - (3 << e)
+
+
+def _lz77_decode_fast(
+    stream: bytes, start_bit: int, n: int, group, width: int
+) -> tuple[np.ndarray, int]:
+    """Decode ``n`` pixels of a cache-less single-group stream that MAY
+    carry LZ77 backward references — vectorized at the TOKEN level (the
+    r7 fast path covered literal-only streams; this extends it to the
+    foreign-stream shape VERDICT r07 #5 named).
+
+    Same speculative idea as _literal_decode_fast, one level up:
+    decode a whole TOKEN (literal pixel = 4 channel codes, or backward
+    reference = length prefix + extra bits + distance prefix + extra
+    bits) at EVERY bit position with LUT gathers, build the
+    per-position "position after one token" map, and recover the true
+    token starts by pointer doubling — stopping as soon as the
+    recovered tokens' pixel counts cover ``n`` (a copy-heavy stream has
+    far fewer tokens than pixels). Literal pixels then land in one
+    vectorized scatter; backward references apply per TOKEN (not per
+    pixel): a non-overlapping copy is one slice assignment, an
+    overlapping one (dist < length — the run-fill idiom) is one
+    np.tile of the last ``dist`` pixels. Copies only ever read pixels
+    the token order has already finalized, so literals-first +
+    copies-in-order is exact.
+
+    ``group`` is the (green, red, blue, alpha, distance) decoder tuple;
+    ``width`` scopes the 2D distance plane map to THIS image. Returns
+    (rows, end bit position) like _literal_decode_fast — the caller
+    advances its bit reader. Output pinned bit-identical to the
+    per-pixel reference loop by tests (FAST_LITERAL toggles both
+    paths)."""
+    green_dec, red_dec, blue_dec, alpha_dec, dist_dec = group
+    nbits = len(stream) * 8
+    if start_bit > nbits:
+        raise ValueError("webp: truncated VP8L bitstream")
+    min_g = min(ln for _c, ln in green_dec.code_map.values())
+    if min_g == 0:
+        # single-symbol green here is necessarily a length prefix (a
+        # literal single-symbol green takes the literal fast path), so
+        # the first token is a backward reference at pixel 0 — invalid
+        # in every stream (same check the reference loop hits first)
+        raise ValueError("webp: backward reference before image start")
+    # plausibility gate before any O(n) allocation (the literal path's
+    # O(1) gate, weakened by LZ77's fan-out): every token costs at
+    # least min_g bits and emits at most _MAX_LZ77_LEN pixels
+    min_tokens = -(-n // _MAX_LZ77_LEN)
+    if start_bit + min_tokens * min_g > nbits:
+        raise ValueError("webp: truncated VP8L bitstream")
+    bits = np.unpackbits(np.frombuffer(stream, dtype=np.uint8), bitorder="little")
+    # pad covers one worst-case token (4x15-bit literal / 58-bit copy)
+    # so no real token's chain ever hits the clamp; only a final token
+    # overrunning nbits can, and the end-position check catches it
+    pad = 80
+    M = nbits + pad
+    bitsp = np.concatenate([bits, np.zeros(pad + 18, dtype=np.uint8)])
+    peek = np.zeros(M, dtype=np.int32)
+    for j in range(_PEEK):
+        peek |= bitsp[j : j + M].astype(np.int32) << j
+    # extra-bit reads need up to 18 bits (distance code 39): extend the
+    # 15-bit window by the three missing bit planes
+    peek18 = peek.copy()
+    for j in range(_PEEK, 18):
+        peek18 |= bitsp[j : j + M].astype(np.int32) << j
+    limit = M - 1
+    pidx = np.arange(M, dtype=np.int32)
+
+    g_sym_lut, g_len_lut = _lut_from_code_map(green_dec.code_map)
+    g_sym = g_sym_lut[peek]
+    g_len = g_len_lut[peek]
+    q1 = np.minimum(pidx + g_len, limit)  # after the green code
+    # literal chain: end position AND channel value at every position
+    lit_vals: list = []  # per r,b,a stream channel: const or array[start]
+    q = q1
+    for dec in (red_dec, blue_dec, alpha_dec):
+        if len(dec.code_map) == 1:
+            lit_vals.append(next(iter(dec.code_map)))
+            continue
+        s_lut, l_lut = _lut_from_code_map(dec.code_map)
+        w15 = peek[q]
+        lit_vals.append(s_lut[w15])
+        q = np.minimum(q + l_lut[w15], limit)
+    lit_end = q
+    # copy chain: length value/extra, then distance code value/extra
+    gcode = g_sym - 256  # meaningful only where g_sym >= 256
+    lext = np.where(gcode >= 4, np.maximum(gcode - 2, 0) >> 1, 0)
+    lval = np.where(
+        gcode < 4,
+        gcode + 1,
+        ((2 + (gcode & 1)) << lext) + (peek18[q1] & ((1 << lext) - 1)) + 1,
+    )
+    q2 = np.minimum(q1 + lext, limit)
+    d_sym_lut, d_len_lut = _lut_from_code_map(dist_dec.code_map)
+    w2 = peek[q2]
+    d_sym = d_sym_lut[w2]
+    d_len = d_len_lut[w2]
+    q3 = np.minimum(q2 + d_len, limit)
+    dext = np.where(d_sym >= 4, np.maximum(d_sym - 2, 0) >> 1, 0)
+    dcode = np.where(
+        d_sym < 4,
+        d_sym + 1,
+        ((2 + (d_sym & 1)) << dext) + (peek18[q3] & ((1 << dext) - 1)) + 1,
+    )
+    is_lit_at = g_sym < 256
+    tok_end = np.where(is_lit_at, lit_end, np.minimum(q3 + dext, limit)).astype(
+        np.int32
+    )
+    cnt = np.where(is_lit_at, 1, lval)
+    plane = np.array(
+        [max(1, xo + yo * width) for xo, yo in _DIST_OFFSETS], dtype=np.int64
+    )
+    dist_at = np.where(
+        dcode <= 120, plane[np.clip(dcode - 1, 0, 119)], dcode.astype(np.int64) - 120
+    )
+
+    # token-start recovery: pointer doubling over tok_end, growing the
+    # position buffer on demand and stopping once the emitted-pixel
+    # total covers n (tokens <= n, but usually far fewer)
+    cap = min(n, max(256, 2 * min_tokens))
+    P = np.empty(cap, dtype=np.int32)
+    P[0] = min(int(start_bit), limit)
+    filled = 1
+    total = int(cnt[P[0]])
+    jump = tok_end
+    while filled < n and total < n:
+        take = min(filled, n - filled)
+        if filled + take > cap:
+            cap = min(n, max(cap * 2, filled + take))
+            grown = np.empty(cap, dtype=np.int32)
+            grown[:filled] = P[:filled]
+            P = grown
+        new = jump[P[:take]]
+        P[filled : filled + take] = new
+        total += int(cnt[new].sum())
+        filled += take
+        if filled < n and total < n:
+            jump = jump[np.minimum(jump, limit)]
+    used = P[:filled].astype(np.int64)
+    cum = np.cumsum(cnt[used])
+    k = int(np.searchsorted(cum, n))  # first token index with cum >= n
+    toks = used[: k + 1]
+    # error ORDER must match the reference loop's stream order: within
+    # a token the bit reads come first (truncation), then the dist >
+    # pos check, then the past-image-end check; across tokens the
+    # earliest bad token wins. Only the cut tail can read past nbits
+    # (positions are monotone), and only token k can overshoot n (the
+    # cumsum crosses n exactly once).
+    ends = tok_end[toks]
+    bad = np.nonzero(ends > nbits)[0]
+    t_bad = int(bad[0]) if bad.size else None
+    overshoot = k if int(cum[k]) != n else None
+
+    cnts = cnt[toks].astype(np.int64)
+    starts = np.concatenate([np.zeros(1, dtype=np.int64), np.cumsum(cnts)[:-1]])
+    out = np.empty((n, 4), dtype=np.uint8)
+    is_lit = is_lit_at[toks]
+    lp = toks[is_lit]
+    ls = np.minimum(starts[is_lit], n - 1)  # clamp: overshoot raises below
+    out[ls, 1] = g_sym[lp]  # stream g,r,b,a -> columns R,G,B,A
+    for col, v in zip((0, 2, 3), lit_vals):
+        out[ls, col] = v if np.isscalar(v) else v[lp]
+    dists = dist_at[toks]
+    for i in np.nonzero(~is_lit)[0]:
+        if t_bad is not None and t_bad <= i:
+            raise ValueError("webp: truncated VP8L bitstream")
+        s = int(starts[i])
+        ln = int(cnts[i])
+        d = int(dists[i])
+        if d > s:
+            raise ValueError("webp: backward reference before image start")
+        if i == overshoot:
+            raise ValueError("webp: backward reference past image end")
+        if d >= ln:
+            out[s : s + ln] = out[s - d : s - d + ln]
+        else:
+            # overlapping copy repeats the last d pixels: out[s+i] =
+            # out[s-d + (i mod d)] — one tile, no per-pixel loop
+            out[s : s + ln] = np.tile(out[s - d : s], (-(-ln // d), 1))[:ln]
+    if t_bad is not None:  # truncation at/after the last copy token
+        raise ValueError("webp: truncated VP8L bitstream")
+    return out, int(ends[-1])
+
+
 def decode_webp(data: bytes) -> np.ndarray:
     """WebP container -> (h, w, 3) uint8 RGB. Accepts a simple-format
     VP8L file or an extended (VP8X) still image whose bitstream is
@@ -777,15 +1107,15 @@ def _decode_image_stream(br: _BitReader, w: int, h: int, is_level0: bool) -> np.
         n_groups = int(midx.max()) + 1
     groups = [_read_prefix_group(br, cache_size) for _ in range(n_groups)]
     n = w * h
-    if (
-        FAST_LITERAL
-        and cache_bits == 0
-        and n_groups == 1
-        and all(s < 256 for s in groups[0][0].code_map)
-    ):
-        # literal-only stream (no cache, one group, green code carries
-        # no LZ77 length symbols) — every own-encoded file: vectorized
-        out, end_bit = _literal_decode_fast(br.data, br.pos, n, groups[0][:4])
+    if FAST_LITERAL and cache_bits == 0 and n_groups == 1:
+        if all(s < 256 for s in groups[0][0].code_map):
+            # literal-only stream (no cache, one group, green code
+            # carries no LZ77 length symbols): pixel-level vectorized
+            out, end_bit = _literal_decode_fast(br.data, br.pos, n, groups[0][:4])
+        else:
+            # cache-less LZ77 stream (own lz77 profile + the common
+            # foreign shape): token-level vectorized
+            out, end_bit = _lz77_decode_fast(br.data, br.pos, n, groups[0], w)
         br.pos = end_bit
         return out
     if n_groups > 1:  # a trivial entropy image needs no per-pixel map

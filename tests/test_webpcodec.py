@@ -1163,3 +1163,193 @@ def test_fast_path_all_constant_channels_direct():
     # stream order g,r,b,a -> columns R,G,B,A
     assert (out[:, 0] == 22).all() and (out[:, 1] == 11).all()
     assert (out[:, 2] == 33).all() and (out[:, 3] == 255).all()
+
+
+# ------------------------------------------------- LZ77 profile + fast path
+
+
+def test_prefix_encode_value_inverts_prefix_value():
+    """_prefix_encode_value must be the exact inverse of the decoder's
+    _prefix_value over the full length range (1..4096) and the
+    distance-code range the encoder emits (121..16504 for dist 1..w)."""
+    for v in list(range(1, 4097)) + [121, 500, 1000, 4216, 16504]:
+        code, nbits, extra = W._prefix_encode_value(v)
+        assert 0 <= extra < (1 << nbits) if nbits else extra == 0
+        bw = W._BitWriter()
+        if nbits:
+            bw.write(extra, nbits)
+        br = W._BitReader(bw.bytes() if nbits else b"")
+        assert W._prefix_value(code, br) == v, v
+    assert W._prefix_encode_value(4096)[0] == 23  # spec-max length code
+
+
+def test_roundtrip_lz77_profile_exact(monkeypatch):
+    """The lz77 profile roundtrips exactly on run-heavy, row-repeating,
+    noise, and constant images — on BOTH decode paths — and compresses
+    the repetitive shapes it targets."""
+    rng = np.random.RandomState(5)
+    h, w = 48, 64
+    banded = np.zeros((h, w, 3), np.uint8)
+    banded[:, :, 0] = (np.arange(w) // 8 * 31).astype(np.uint8)
+    banded[:, :, 1] = (np.arange(h)[:, None] // 4 * 13).astype(np.uint8)
+    banded[:, :, 2] = 99
+    banded[10:20, 20:40] = rng.randint(0, 256, (10, 20, 3)).astype(np.uint8)
+    imgs = [
+        banded,
+        np.full((7, 9, 3), 123, np.uint8),  # one giant overlapping run
+        rng.randint(0, 256, (11, 13, 3)).astype(np.uint8),  # noise: no copies
+        np.tile(rng.randint(0, 256, (1, 16, 3)).astype(np.uint8), (12, 1, 1)),
+        np.zeros((1, 1, 3), np.uint8),
+        np.zeros((1, 30, 3), np.uint8),  # single row: dist-1 runs only
+        np.zeros((30, 1, 3), np.uint8),  # single column: w == 1
+    ]
+    for arr in imgs:
+        for sg in (True, False):
+            blob = encode_webp(arr, subtract_green=sg, lz77=True)
+            monkeypatch.setattr(W, "FAST_LITERAL", True)
+            fast = decode_webp(blob)
+            monkeypatch.setattr(W, "FAST_LITERAL", False)
+            slow = decode_webp(blob)
+            assert np.array_equal(fast, slow)
+            assert np.array_equal(fast, arr)
+    assert len(encode_webp(banded, lz77=True)) < len(encode_webp(banded)) / 3
+
+
+def test_roundtrip_lz77_hypothesis_exact():
+    """Property: the lz77 profile is lossless on ANY image, including
+    low-cardinality ones that trigger dense overlapping runs."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+    from hypothesis.extra import numpy as hnp
+
+    @settings(max_examples=80, deadline=None)
+    @given(
+        hnp.arrays(
+            dtype=np.uint8,
+            shape=st.tuples(st.integers(1, 12), st.integers(1, 12), st.just(3)),
+            elements=st.integers(0, 3),  # low cardinality -> runs
+        )
+    )
+    def check(arr):
+        arr = arr * 80  # spread values so codes vary in length
+        assert np.array_equal(decode_webp(encode_webp(arr, lz77=True)), arr)
+
+    check()
+
+
+def test_lz77_fast_path_engages_and_matches_reference(monkeypatch):
+    """Own lz77-profile files actually take _lz77_decode_fast, and the
+    hand-built foreign LZ77 spec streams (1D backref, 2D plane codes)
+    decode identically on both paths."""
+    calls = []
+    orig = W._lz77_decode_fast
+
+    def spy(*a, **k):
+        calls.append(1)
+        return orig(*a, **k)
+
+    monkeypatch.setattr(W, "_lz77_decode_fast", spy)
+    arr = np.tile(
+        np.random.RandomState(4).randint(0, 256, (1, 20, 3)).astype(np.uint8),
+        (15, 1, 1),
+    )
+    blob = encode_webp(arr, lz77=True)
+    assert np.array_equal(decode_webp(blob), arr)
+    assert calls, "token-level fast path did not engage on an lz77 stream"
+
+
+def test_lz77_fast_path_overlapping_and_2d(monkeypatch):
+    """Foreign-stream shapes the own encoder never emits, pinned equal
+    across paths: an overlapping dist<length copy (run-fill idiom)
+    addressed through a 2D plane code, with extra bits on both the
+    length and the distance prefix. 4x2 image: two literals, then one
+    length-6 copy at plane code 6 = (2, 0) -> dist 2 (len prefix 4:
+    extra=1, offset=4, extra bit 1 -> 6; dist prefix 4: extra=1,
+    offset=4, extra bit 1 -> dcode 6)."""
+    w, h = 4, 2
+    bw = W._BitWriter()
+    _header(bw, w, h)
+    bw.write(0, 1)
+    bw.write(0, 1)
+    bw.write(0, 1)
+    _write_normal_two(bw, 256 + 24, 0, 256 + 4)
+    _write_simple_code(bw, [10, 77])  # red
+    _write_simple_code(bw, [30])  # blue
+    _write_simple_code(bw, [255])  # alpha
+    _write_simple_code(bw, [4])  # dist prefix 4: extra=1, offset=4
+    for r in (10, 77):
+        bw.write(0, 1)
+        bw.write(0 if r == 10 else 1, 1)
+    bw.write(1, 1)  # len prefix 4
+    bw.write(1, 1)  # len extra -> length 4+1+1 = 6
+    bw.write(1, 1)  # dist extra 1 -> dcode 4+1+1 = 6 -> plane 6 = (2,0) = dist 2
+    blob = _container(bw)
+    expect_red = [10, 77] + [10, 77, 10, 77, 10, 77]
+    for fast in (True, False):
+        monkeypatch.setattr(W, "FAST_LITERAL", fast)
+        out = decode_webp(blob)
+        assert out[:, :, 0].ravel().tolist() == expect_red, fast
+        assert np.all(out[:, :, 1] == 0) and np.all(out[:, :, 2] == 30)
+
+
+def test_lz77_fast_path_error_parity(monkeypatch):
+    """Invalid LZ77 streams raise the same errors on both paths: a
+    backward reference past the image end, one before the image start,
+    and a truncated token stream."""
+    import struct
+
+    def _past_end():
+        # 2x2 image: one literal then a length-6 copy (1 + 6 > 4)
+        bw = W._BitWriter()
+        _header(bw, 2, 2)
+        bw.write(0, 1)
+        bw.write(0, 1)
+        bw.write(0, 1)
+        _write_normal_two(bw, 256 + 24, 7, 256 + 4)
+        _write_simple_code(bw, [20])  # red
+        _write_simple_code(bw, [30])  # blue
+        _write_simple_code(bw, [255])  # alpha
+        _write_simple_code(bw, [13])  # dist prefix 13 -> dist 1 w/ extra 24
+        bw.write(0, 1)  # literal
+        bw.write(1, 1)  # len prefix 4
+        bw.write(1, 1)  # len extra -> length 6
+        bw.write(24, 5)  # dist extra -> dist 1
+        return _container(bw)
+
+    def _before_start():
+        # first token is a backward reference
+        bw = W._BitWriter()
+        _header(bw, 2, 2)
+        bw.write(0, 1)
+        bw.write(0, 1)
+        bw.write(0, 1)
+        _write_normal_two(bw, 256 + 24, 7, 256 + 0)  # len-1 backref
+        _write_simple_code(bw, [20])
+        _write_simple_code(bw, [30])
+        _write_simple_code(bw, [255])
+        _write_simple_code(bw, [0])  # dist prefix 0 -> plane 1
+        bw.write(1, 1)  # backref at pixel 0
+        return _container(bw)
+
+    arr = np.tile(
+        np.random.RandomState(8).randint(0, 256, (1, 24, 3)).astype(np.uint8),
+        (24, 1, 1),
+    )
+    full = encode_webp(arr, lz77=True)
+    cut = len(full) - 10
+    truncated = full[:16] + struct.pack("<I", cut - 20) + full[20:cut]
+
+    for fast in (True, False):
+        monkeypatch.setattr(W, "FAST_LITERAL", fast)
+        with pytest.raises(ValueError, match="past image end"):
+            decode_webp(_past_end())
+        with pytest.raises(ValueError, match="before image start"):
+            decode_webp(_before_start())
+        with pytest.raises(ValueError, match="truncated"):
+            decode_webp(truncated)
+
+
+def test_encoder_lz77_and_palette_are_exclusive():
+    arr = np.zeros((4, 4, 3), np.uint8)
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        encode_webp(arr, palette=True, lz77=True)
