@@ -67,14 +67,31 @@ class CrawlConfig:
     # seen-set crosses this many rows (one-time backfill mark): below it
     # the exact anti-join is cheaper than the probe/mark jobs the bloom
     # adds per wave; at 10^8+ seen rows the prefilter is the win
-    seen_join_shape: str = "semi"  # verify-join shape once the prefilter
-    # is active (VERDICT r07 #2): "semi" = hits := seen ⋉ maybe-keys,
-    # then probed ⋉̸ hits — the accumulated seen side is SCANNED (one
-    # pruned column) but never shuffled or sorted, because both joins
-    # build on the wave-bounded side; "anti" = legacy maybe ⋉̸ seen,
-    # which shuffle+sorts the entire seen history every wave (the one
-    # per-wave cost that grew with crawl history). Output identical,
-    # pinned by test_seen_join_shape_equality.
+    seen_join_shape: str = "anti"  # verify-join shape once the prefilter
+    # is active (VERDICT r07 #2). "anti" (default) = maybe ⋉̸ seen,
+    # the fastest measured shape on local/single-node at every seen
+    # size (seen_scan_bench part A: in-memory shuffle ≈ memcpy, so the
+    # SMJ's seen shuffle costs less than the semi shape's extra job).
+    # "semi" = hits := seen ⋉ maybe-keys, then probed ⋉̸ hits — the
+    # seen side is SCANNED (one pruned column) but never shuffled or
+    # sorted: the shape for network-shuffle-bound clusters when the
+    # seen store isn't bucketed. For the 10^10 regime use
+    # seen_layout="bucketed" instead (flat in seen size, dominates
+    # both). Output identical across all of them, pinned by
+    # test_seen_join_shape_equality / test_seen_layout_bucketed_*.
+    seen_layout: str = "slices"  # where the verify join reads the seen
+    # history from (VERDICT r07 #2). "slices" (default) = union of the
+    # committed frontier parquet slices. "bucketed" = a catalog table
+    # of (url_key, m) bucketed on url_key, rebuilt from committed
+    # slices on first use per run and appended per wave: the verify
+    # join then runs as a shuffled-hash semi join building on the
+    # wave-bounded side, so the seen history is never exchanged OR
+    # sorted at ANY size — measured flat in seen size
+    # (scripts/seen_scan_bench.py: 1.04 s at 8M -> 1.09 s at 32M seen
+    # keys vs 1.12 -> 2.89 for the slice anti-join). The table is a
+    # cache; exactness never depends on it (reads filter to committed
+    # manifest waves, rebuild-on-first-use absorbs crashes/expiry).
+    seen_buckets: int = 32  # bucket count for seen_layout="bucketed"
     per_host_budget: int | None = None  # max fetches per host per wave (None = unlimited)
     hot_host_salt_threshold: int = 10_000  # rows/host above which to salt-split
     # exact-cap politeness (VERDICT r04 #5, opt-in): distribute the

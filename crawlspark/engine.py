@@ -298,6 +298,9 @@ class SparkCrawler:
         # layout is config-dependent).
         self._warm_seen: DataFrame | None = None
         self._warm_bits: DataFrame | None = None
+        # seen_layout="bucketed": manifest waves synced into the seen
+        # catalog table this run (None = table not built yet this run)
+        self._seen_tbl_synced: set | None = None
         if warm_store:
             prior = SnapshotStore(spark, warm_store)
             if prior.read("frontier") is not None:
@@ -612,39 +615,45 @@ class SparkCrawler:
 
     def _dedup_against_seen(self, cand: DataFrame, seen: DataFrame | None, bits: DataFrame | None):
         """Exact seen-set dedup (A7, crawler.go:240-247) behind the
-        probabilistic prefilter.
+        probabilistic prefilter. Three measured verify-join shapes
+        (scripts/seen_scan_bench.py, VERDICT r07 #2):
 
-        Prefilter-active path ("semi", VERDICT r07 #2): the legacy
-        shape anti-joined the maybe rows against the FULL seen history
-        — Catalyst plans that as a sort-merge join once seen outgrows
-        the broadcast threshold, shuffling and sorting every seen
-        url_key on EVERY wave, the one per-wave cost that grew with
-        crawl history (O(waves x seen) bytes through the shuffle at
-        10^10 URLs). The semi shape inverts the join direction:
+        * "anti" (default) — maybe ⋉̸ seen. Fastest on local/single
+          node at every measured seen size (0.89/1.12/2.89 s at
+          2M/8M/32M seen keys): in-memory shuffle ≈ memcpy, so the
+          sort-merge's seen shuffle costs less than an extra job.
+        * "semi" — hits := seen ⋉ maybe_keys (seen is the STREAM
+          side), then probed ⋉̸ hits. Both joins build their hash on
+          the wave-bounded side, so the seen history is scanned (one
+          pruned column) but never shuffled or sorted — the shape for
+          network-shuffle-bound clusters without a bucketed seen
+          store; ~20% slower than anti locally (1.02/1.45/3.50 s). A
+          fresh row (bloom says definitely-unseen) can't be in seen,
+          hence never in hits, so one anti-join over all probed rows
+          replaces the fresh/maybe union split.
+        * seen_layout="bucketed" (overrides the shape) — the semi
+          shape with a SHUFFLE_HASH hint on the wave-bounded side
+          against the bucketed seen table (_bucketed_seen): the scan
+          satisfies the join's distribution requirement with no
+          exchange AND no sort, measured FLAT in seen size
+          (1.04 s at 8M -> 1.09 s at 32M). The 10^10 layout.
 
-            hits = seen ⋉ maybe_keys   (seen is the STREAM side)
-            new  = probed ⋉̸ hits
-
-        Both joins build their hash table on the wave-bounded side
-        (maybe_keys, then hits ⊆ maybe_keys), so the seen history is
-        scanned — one column, parquet-pruned, embarrassingly parallel
-        — but never shuffled or sorted. When maybe_keys fits the
-        broadcast threshold (the common case: bloom false positives +
-        true dupes of one wave) even the scan is map-side with zero
-        exchange on the seen side; past it, AQE falls back to a
-        shuffle of the WAVE-sized sides only. A fresh row (bloom says
-        definitely-unseen) can't be in seen, hence never in hits, so
-        the anti-join over all probed rows preserves it — no
-        fresh/maybe union split needed. Output is identical to the
-        legacy shape (pinned by test_seen_join_shape_equality);
-        cfg.seen_join_shape="anti" keeps the old plan for A/B
-        (scripts/seen_scan_bench.py)."""
+        Output identical across all shapes (pinned by
+        test_seen_join_shape_equality / test_seen_layout_bucketed_*)."""
         if seen is None:
             return cand
+        bucketed = self.cfg.seen_layout == "bucketed"
         if self.cfg.bloom_prefilter and bits is not None:
             probed = self.seenfilter.probe(cand, bits, "url_key", self.bloom_cfg)
-            if self.cfg.seen_join_shape == "semi":
+            if bucketed or self.cfg.seen_join_shape == "semi":
                 maybe_keys = probed.filter(F.col("_maybe_seen")).select("url_key")
+                if bucketed:
+                    # force the shuffled-hash build onto the hinted
+                    # wave-bounded side: the bucketed seen scan then
+                    # satisfies the join's distribution requirement
+                    # with NO exchange and no sort at any seen size
+                    # (seen_scan_bench part A, `semi_bucketed` column)
+                    maybe_keys = maybe_keys.hint("SHUFFLE_HASH")
                 hits = seen.select("url_key").join(maybe_keys, "url_key", "left_semi")
                 return probed.drop("_maybe_seen", "_h64", "_shard").join(
                     hits, "url_key", "left_anti"
@@ -653,7 +662,77 @@ class SparkCrawler:
             maybe = probed.filter(F.col("_maybe_seen")).drop("_maybe_seen", "_h64", "_shard")
             verified = maybe.join(seen.select("url_key"), "url_key", "left_anti")
             return fresh.unionByName(verified)
+        if bucketed:
+            keys = cand.select("url_key").hint("SHUFFLE_HASH")
+            hits = seen.select("url_key").join(keys, "url_key", "left_semi")
+            return cand.join(hits, "url_key", "left_anti")
         return cand.join(seen.select("url_key"), "url_key", "left_anti")
+
+    def _seen_table_name(self) -> str:
+        import hashlib
+
+        return "seen_keys_" + hashlib.md5(
+            self.store.root.encode("utf-8")
+        ).hexdigest()[:12]
+
+    def _bucketed_seen(self, d: int) -> DataFrame | None:
+        """Seen history as a catalog table bucketed on url_key
+        (cfg.seen_layout="bucketed", VERDICT r07 #2 layout change).
+
+        The slice layout re-reads and (past the broadcast threshold)
+        re-shuffles the whole seen history every wave; the bucketed
+        layout pays one wave-bounded append per wave instead, and the
+        verify join reads a scan that already satisfies the join's
+        hash distribution — no exchange, no sort, measured FLAT in
+        seen size (scripts/seen_scan_bench.py part A).
+
+        The table is a pure cache of the committed frontier/warm_seen
+        slices' url_keys: rebuilt from committed manifests on first
+        use in a run (so crashes, truncate_after resumes, and expire()
+        rewrites can never leak stale keys in), appended per committed
+        manifest wave after that, and every read filters `m <= d-1`
+        (exactly store.read("frontier", up_to=d-1)'s visibility rule),
+        so an append racing a crash is invisible until its manifest
+        commits. At 10^10 keys the per-wave append is bounded by the
+        wave; periodic compaction of the per-append bucket files is an
+        operational task, not a correctness one."""
+        spark = self.spark
+        tbl = self._seen_table_name()
+        if self._seen_tbl_synced is None:
+            import shutil
+
+            spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+            loc = os.path.join(
+                spark.conf.get(
+                    "spark.sql.warehouse.dir", "spark-warehouse"
+                ).removeprefix("file:"),
+                tbl.lower(),
+            )
+            if os.path.exists(loc):
+                shutil.rmtree(loc)  # orphan from an interrupted run
+            self._seen_tbl_synced = set()
+        # sync key is (manifest wave, table): a mid-wave PARTIAL
+        # manifest for wave d carries no frontier slice yet — keying
+        # on the wave alone would mark it synced and skip the full
+        # commit's slice
+        have = self._seen_tbl_synced
+        for m in self.store._manifests():
+            for t in ("frontier", "warm_seen"):
+                info = m["tables"].get(t)
+                if not info or (m["wave"], t) in have:
+                    continue
+                (
+                    spark.read.parquet(*info["files"])
+                    .select("url_key")
+                    .withColumn("m", F.lit(m["wave"]))
+                    .write.bucketBy(self.cfg.seen_buckets, "url_key")
+                    .mode("append")
+                    .saveAsTable(tbl)
+                )
+                have.add((m["wave"], t))
+        if not have:
+            return None
+        return spark.table(tbl).filter(F.col("m") <= F.lit(d - 1)).select("url_key")
 
     # ------------------------------------------------------------------
 
@@ -934,14 +1013,21 @@ class SparkCrawler:
             # cover frontier depths 0..d) — no separate seen table —
             # plus, on a warm re-crawl, the prior crawl's seen-set
             # minus its expired tombstones
-            seen = store.read("frontier", up_to=d - 1)
-            warm = store.read("warm_seen")  # committed at seed time, so
-            # a resumed run recovers it without the warm_store argument
-            if warm is not None:
-                warm = warm.select("url_key")
-                seen = (
-                    warm if seen is None else seen.select("url_key").unionByName(warm)
-                )
+            if cfg.seen_layout == "bucketed":
+                # catalog-table layout: warm_seen rides the same table
+                # (appended from its manifest slice, m=-1)
+                seen = self._bucketed_seen(d)
+            else:
+                seen = store.read("frontier", up_to=d - 1)
+                warm = store.read("warm_seen")  # committed at seed time,
+                # so a resumed run recovers it without warm_store
+                if warm is not None:
+                    warm = warm.select("url_key")
+                    seen = (
+                        warm
+                        if seen is None
+                        else seen.select("url_key").unionByName(warm)
+                    )
             # probe the bloom only once it's been activated (bits then
             # cover the whole seen-set); before activation the plain
             # anti-join wins — the prefilter's probe/mark jobs only pay
@@ -1174,6 +1260,9 @@ class SparkCrawler:
         from .bloomfilter import with_shard_cols
 
         spark, store = self.spark, self.store
+        # the bucketed seen cache (if any) is stale once tombstones
+        # land: force a rebuild-from-manifests on its next use
+        self._seen_tbl_synced = None
         last = store.last_complete_wave()
         if last is None:
             raise RuntimeError(

@@ -7,22 +7,23 @@ that join plans is the last open 100x-scale question. Two parts:
 
 Part A — the join term in isolation, at synthetic seen sizes, for the
 candidate shapes:
-  anti          maybe ⋉̸ seen          (legacy: seen shuffles+sorts
-                                        once past broadcast size)
-  semi          hits := seen ⋉ maybe;  probed ⋉̸ hits (engine default
-                since r8: seen scanned, hash always built on the
-                wave-bounded side; broadcast regime = zero exchange
-                on seen)
+  anti          maybe ⋉̸ seen          (engine default: fastest on
+                local/single node — in-memory shuffle ≈ memcpy)
+  semi          hits := seen ⋉ maybe;  probed ⋉̸ hits (seen scanned,
+                hash always built on the wave-bounded side; the
+                network-shuffle-bound-cluster shape)
   semi_bucketed same, seen persisted as a bucketed table and the
                 semi join forced to a shuffled-hash build on the
-                maybe side — seen side has NO exchange at ANY maybe
-                size (the documented 10^10 layout, same pattern as
-                bucketize_pages for the fetch join)
+                maybe side — seen side has NO exchange or sort at ANY
+                size; measured FLAT in seen size. Shipped as the
+                engine's opt-in cfg.seen_layout="bucketed" (the
+                10^10 layout, same pattern as bucketize_pages)
 
 Part B — the term in the engine: a constant-wave chain crawl
 (branching=1, so every wave fetches n_hosts rows while the seen-set
-grows linearly) crawled under seen_join_shape=semi vs anti; per-wave
-t_frontier from the store metrics isolates the growth term.
+grows linearly) crawled under seen_layout=bucketed vs
+seen_join_shape=semi vs anti; per-wave t_frontier from the store
+metrics isolates the growth term.
 
 Emits one markdown table per part (paste into BENCH.md) plus a final
 JSON line.
@@ -227,7 +228,7 @@ def part_b(spark) -> dict:
         workdir=tempfile.mkdtemp(prefix="seenbench-warm-"),
     ).run()
     out: dict = {}
-    for shape in ("semi", "anti"):
+    for shape in ("bucketed", "semi", "anti"):
         cfg = CrawlConfig(
             From=benchgen.seed_urls(CHAIN_HOSTS),
             MaxDepth=CHAIN_DEPTH,
@@ -237,7 +238,8 @@ def part_b(spark) -> dict:
             detailed_metrics=False,
             bloom_min_seen=1000,  # prefilter (and the shaped verify
             # join) active from wave 0 — the regime under test
-            seen_join_shape=shape,
+            seen_join_shape="semi" if shape == "bucketed" else shape,
+            seen_layout="bucketed" if shape == "bucketed" else "slices",
         )
         c = SparkCrawler(
             spark, cfg, pages, robots,
@@ -274,10 +276,11 @@ def part_b(spark) -> dict:
 
 
 def main():
+    parts = os.environ.get("CRAWLSPARK_SEEN_PARTS", "a,b").split(",")
     spark = build_spark()
     spark.sparkContext.setLogLevel("ERROR")
-    a = part_a(spark)
-    b = part_b(spark)
+    a = part_a(spark) if "a" in parts else None
+    b = part_b(spark) if "b" in parts else None
     print(json.dumps({"part_a": a, "part_b": b}))
 
 

@@ -550,6 +550,77 @@ def test_seen_join_shape_equality(spark, tmp_path):
     assert outs["semi"] == outs["anti"]
 
 
+def test_seen_layout_bucketed_equality(spark, tmp_path):
+    """cfg.seen_layout='bucketed' (catalog table of seen keys bucketed
+    on url_key, appended per wave, shuffled-hash semi verify join —
+    the VERDICT r07 #2 layout change) emits identical rows and
+    seen-set to the slice layout, with the prefilter active (tiny
+    shards -> real false positives) AND with it off (the plain
+    anti-join path also reroutes through the bucketed table)."""
+    pages_pdf, robots_pdf, seeds = testkit.nice_site(branching=4, max_id_len=3)
+    outs = {}
+    for tag, extra in (
+        ("slices", {}),
+        ("bucketed", {"seen_layout": "bucketed"}),
+        ("bucketed-nofilter", {"seen_layout": "bucketed", "bloom_prefilter": False}),
+    ):
+        cfg = CrawlConfig(From=seeds, MaxDepth=2, RespectNofollow=True,
+                          bloom_prefilter=extra.pop("bloom_prefilter", True),
+                          bloom_shards=4, bloom_min_seen=0,
+                          bloom_bits_per_shard=1 << 12, **extra)
+        c = SparkCrawler(
+            spark, cfg,
+            testkit.pages_to_spark(spark, pages_pdf),
+            testkit.robots_to_spark(spark, robots_pdf),
+            workdir=str(tmp_path / f"layout-{tag}"),
+        )
+        c.run()
+        outs[tag] = (
+            sorted(tuple(r) for r in c.results().select("Depth", "Priority", "UrlKey").collect()),
+            {r["url_key"] for r in c.seen().collect()},
+        )
+    assert outs["bucketed"] == outs["slices"]
+    assert outs["bucketed-nofilter"] == outs["slices"]
+
+
+def test_seen_layout_bucketed_plan(spark, tmp_path):
+    """The bucketed verify join's plan: the seen side reads the
+    bucketed table scan with NO Exchange above it (Bucketed: true
+    satisfies the ShuffledHashJoin's distribution requirement), so
+    only the wave-bounded side shuffles — the property that makes the
+    join flat in seen size (seen_scan_bench part A)."""
+    pages_pdf, robots_pdf, seeds = testkit.nice_site(branching=4, max_id_len=3)
+    cfg = CrawlConfig(From=seeds, MaxDepth=1, RespectNofollow=True,
+                      seen_layout="bucketed", bloom_prefilter=False)
+    c = SparkCrawler(
+        spark, cfg,
+        testkit.pages_to_spark(spark, pages_pdf),
+        testkit.robots_to_spark(spark, robots_pdf),
+        workdir=str(tmp_path / "layout-plan"),
+    )
+    c.run()
+    seen = c._bucketed_seen(2)
+    assert seen is not None
+    cand = spark.createDataFrame(
+        [("https://a.test/x", 1)], "url_key string, priority int"
+    )
+    txt = (
+        c._dedup_against_seen(cand, seen, None)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "ShuffledHashJoin" in txt, txt
+    assert "Bucketed: true" in txt, txt
+    # tree print order is stream (left) leg first: everything between
+    # the semi join line and the seen table's FileScan line belongs to
+    # the seen leg — it must contain NO Exchange (the bucketed scan
+    # satisfies the join's distribution requirement as-is; only the
+    # wave-bounded side shuffles, after the scan line)
+    join_at = txt.index("ShuffledHashJoin")
+    scan_at = txt.index("Scan parquet", join_at)
+    assert c._seen_table_name() in txt[scan_at : scan_at + 200], txt
+    assert "Exchange" not in txt[join_at:scan_at], txt
+
+
 def test_cuckoo_seen_filter_correctness(spark, tmp_path):
     """seen_filter='cuckoo': same emitted rows and seen-set as the
     bloom backend and as no-prefilter — the cuckoo filter is the
