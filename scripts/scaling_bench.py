@@ -52,13 +52,18 @@ WEB_DIR = os.path.join(
 
 
 def single_run(cpus: int) -> dict:
-    from bench import vm_calibration  # single-core burn, nominal ~0.38 s
+    # single-core burn, nominal ~0.38 s; the settle gate is bench.py's
+    # calibration policy (VERDICT r07 #1/#3): never time a leg through
+    # a known-polluted window — the r8 budgeted pair's first attempt
+    # drew BOTH serial trials on polluted windows and read 0.795
+    from bench import vm_calibration, wait_for_quiet_vm
     from crawlspark import benchgen
     from crawlspark.config import CrawlConfig
     from crawlspark.engine import SparkCrawler
     from pyspark.sql import SparkSession
 
-    cal_pre = vm_calibration()
+    attempts: dict = {}
+    cal_pre = wait_for_quiet_vm(f"local{cpus}", attempts)
     spark = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(f"crawlspark-scale-{cpus}")
@@ -129,7 +134,8 @@ def single_run(cpus: int) -> dict:
             # efficiency history's 0.715-1.035 spread is dominated by
             # which leg catches a slow VM window — these pairs let any
             # reading be normalized post-hoc
-            "calibration_sec": [cal_pre, cal_post]}
+            "calibration_sec": [cal_pre, cal_post],
+            "calibration_attempts": attempts}
 
 
 def main():
@@ -163,16 +169,20 @@ def main():
     # calibration-normalized efficiency (VERDICT r07 #3): scale each
     # leg's throughput to quiet-VM-equivalent by (observed_cal /
     # nominal) — a leg whose burns read slow ran on a polluted window
-    # and its true throughput is proportionally higher. First-order
-    # (the burn is single-core, the legs are not), so BOTH numbers are
-    # reported; the normalized one says which side the noise landed on.
+    # and its true throughput is proportionally higher. Uses the MIN
+    # of the pre/post burns: pollution is transient, so a pair like
+    # [4.8, 0.39] means the run was mostly quiet and scaling by the
+    # mean would over-correct ~7x (observed on the first r8 budgeted
+    # attempt). First-order either way (the burn is single-core, the
+    # legs are not), so BOTH numbers are reported; the normalized one
+    # says which side any residual noise landed on.
     nominal = 0.38
-    def _calmean(r):
+    def _calmin(r):
         pair = r.get("calibration_sec") or [nominal, nominal]
-        return sum(pair) / len(pair)
+        return max(min(pair), nominal)  # never scale a leg UP past quiet
 
-    tn_norm = tn * _calmean(results[n]) / nominal
-    tn4_norm = tn4 * _calmean(results[n4]) / nominal
+    tn_norm = tn * _calmin(results[n]) / nominal
+    tn4_norm = tn4 * _calmin(results[n4]) / nominal
     eff_norm = round(tn4_norm / (4 * tn_norm), 3)
     print(json.dumps({f"local{n}": results[n], f"local{n4}": results[n4],
                       "efficiency": eff, "efficiency_normalized": eff_norm}))
