@@ -92,6 +92,21 @@ class CrawlConfig:
     # cache; exactness never depends on it (reads filter to committed
     # manifest waves, rebuild-on-first-use absorbs crashes/expiry).
     seen_buckets: int = 32  # bucket count for seen_layout="bucketed"
+    budget_plan: str = "iterative"  # budgeted sub-wave scheduling (r8).
+    # "iterative" (default) = re-rank + stage the deferred remainder
+    # per sub-wave — measured fastest-or-equal on local/single node
+    # (BASELINE.md r8: 1,749 vs 1,742 URLs/s serial, 5,296 vs 5,075 on
+    # 8 cores, both within the noise envelope). "rank_once" = stage
+    # the whole politeness plan once per wave (_subwave = rank window;
+    # robots UDF evaluated once per WAVE) and run each sub-wave as a
+    # filtered read — no per-sub-wave shuffle/sort of the remaining
+    # frame and no per-sub-wave gate join, the terms that grow with
+    # wave size × sub-wave count at 10^10 (the scale shape, like
+    # seen_layout="bucketed"). Identical politeness contract and
+    # emitted output (tests parametrize both). per_host_budget_exact
+    # always uses the iterative loop (its rotating remainder window
+    # has no closed rank form); a mid-wave resume honors whichever
+    # format the store was checkpointed under.
     per_host_budget: int | None = None  # max fetches per host per wave (None = unlimited)
     hot_host_salt_threshold: int = 10_000  # rows/host above which to salt-split
     # exact-cap politeness (VERDICT r04 #5, opt-in): distribute the

@@ -434,6 +434,18 @@ class SparkCrawler:
         counts branch (Catalyst doesn't share subtrees across a join),
         and the count only sizes the salt slices — over-slicing a
         host with many blocked rows just defers a little more."""
+        ranked, slice_budget = self._salted_rank(gated, budget, subwave)
+        ranked = ranked.withColumn(
+            "_take", (~F.col("_allowed")) | (F.col("_rk") <= slice_budget)
+        )
+        take = ranked.filter("_take").drop("_host_n", "_salt", "_rk", "_take")
+        defer = ranked.filter("NOT _take").drop("_host_n", "_salt", "_rk", "_take")
+        return take, defer
+
+    def _salted_rank(self, gated: DataFrame, budget: int, subwave: int):
+        """Shared politeness-ranking core for _apply_budget (iterative)
+        and _budget_plan (rank-once): (ranked frame carrying
+        _host_n/_salt/_rk, per-row slice-budget column)."""
         threshold = self.cfg.hot_host_salt_threshold
         host_counts = gated.groupBy("host").agg(F.count("*").alias("_host_n"))
         # no forced broadcast hint (code-review r04): a broad-web wave
@@ -464,10 +476,43 @@ class SparkCrawler:
                     "priority", "url_key"
                 )
             ),
-        ).withColumn("_take", (~F.col("_allowed")) | (F.col("_rk") <= slice_budget))
-        take = ranked.filter("_take").drop("_host_n", "_salt", "_rk", "_take")
-        defer = ranked.filter("NOT _take").drop("_host_n", "_salt", "_rk", "_take")
-        return take, defer
+        )
+        return ranked, slice_budget
+
+    def _budget_plan(self, gated: DataFrame, budget: int) -> DataFrame:
+        """Rank-once politeness plan (r8, the budgeted-path Amdahl
+        term): assign every gated row its sub-wave index up front
+        instead of re-ranking + re-staging the deferred remainder per
+        sub-wave. For the DEFAULT (non-exact) budget the slice budget
+        is constant across sub-waves, so the iterative take — re-rank
+        remaining, keep _rk <= sb — admits exactly the rows with
+        original rank in (k*sb, (k+1)*sb] at sub-wave k (row_number
+        over (priority, url_key) is deterministic and order-stable
+        under removal of a prefix): _subwave = (_rk - 1) div sb is the
+        SAME partition the loop would produce when per-host counts are
+        wave-constant, and satisfies the identical politeness contract
+        (<= slice_budget rows per (host, salt) slice per sub-wave;
+        defer never drops) in all cases. Blocked rows ride sub-wave 0
+        as before. Measured on the 5-sub-wave 408k drain (BASELINE.md
+        r8): NEUTRAL locally (1,742 vs 1,749 URLs/s serial, 5,075 vs
+        5,296 on 8 cores — within the noise envelope), because the
+        loop's per-sub-wave re-rank shuffles are near-free in memory;
+        at cluster scale those shuffles are O(wave × sub-waves)
+        exchange bytes while the plan path's extra cost is parallel
+        re-scans of one staged frame — hence opt-in
+        cfg.budget_plan="rank_once" as the deployment shape, same
+        split as seen_layout="bucketed".
+
+        per_host_budget_exact keeps the iterative loop: its rotating
+        remainder window makes the per-sub-wave allowance
+        sub-wave-dependent, which has no clean closed rank form."""
+        ranked, slice_budget = self._salted_rank(gated, budget, 0)
+        return ranked.withColumn(
+            "_subwave",
+            F.when(~F.col("_allowed"), F.lit(0))
+            .otherwise(F.floor((F.col("_rk") - F.lit(1)) / slice_budget))
+            .cast("int"),
+        ).drop("_host_n", "_salt", "_rk")
 
     def _fetch_join(self, gated_allowed: DataFrame) -> DataFrame:
         """The fetch interface: frontier rows joined against the pages
@@ -930,9 +975,11 @@ class SparkCrawler:
             ).withColumn("_allowed", F.lit(True))
 
         blocked_offset = 0
+        plan_info = None
         if resume_parts:
             # mid-wave resume: adopt the completed politeness subwaves
-            # and continue from the checkpointed pending frontier
+            # and continue from the checkpointed plan (or, for a store
+            # interrupted under the pre-r8 loop, the pending frontier)
             last_part = resume_parts[-1]
             # blocked rows were all staged in subwave 0 (pre-interrupt);
             # the accumulator won't re-fire for them — take the count
@@ -943,49 +990,106 @@ class SparkCrawler:
                 key = "results" if k == 0 else f"results_sub{k}"
                 parsed_slices.append(last_part["tables"][key])
             subwave = len(resume_parts)
-            pending = spark.read.parquet(
-                *last_part["tables"][f"pending_sub{subwave - 1}"]["files"]
-            )
-            remaining = regate(pending)
+            if "budget_plan" in last_part["tables"]:
+                plan_info = last_part["tables"]["budget_plan"]
+            else:
+                pending = spark.read.parquet(
+                    *last_part["tables"][f"pending_sub{subwave - 1}"]["files"]
+                )
+                remaining = regate(pending)
 
         frontier_cols = ["url_key", "fetch_url", "depth", "priority", "seed_order"]
-        while True:
-            if budget:
-                take, remaining = self._apply_budget(remaining, budget, subwave)
-            else:
-                take, remaining = remaining, None
-            parsed = self._fetch_and_parse(
-                take, rows_hint=frontier_rows, blocked_counter=blocked_acc
-            )
-            info = store.stage(
-                f"results_sub{subwave}" if subwave else "results", parsed, d
-            )
-            parsed_slices.append(info)
-            if remaining is None:
+        # rank-once plan path (r8, opt-in cfg.budget_plan="rank_once"):
+        # the non-exact budget's sub-wave partition is a pure function
+        # of the one salted rank, so the whole politeness plan stages
+        # ONCE (with _allowed — the robots UDF runs once per WAVE) and
+        # each sub-wave is a filtered read + the single-pass results
+        # job + checkpoint. Locally this measured NEUTRAL vs the loop
+        # (BASELINE.md r8 — in-memory shuffle is cheap), so the loop
+        # stays default; at 10^10 the loop's per-sub-wave re-rank
+        # shuffle + gate join over the remaining frame is O(wave ×
+        # sub-waves) exchange bytes, which the plan path replaces with
+        # parallel scans — the scale shape. A resume honors whichever
+        # format the store was checkpointed under (plan_info wins).
+        use_plan = plan_info is not None or (
+            bool(budget)
+            and not cfg.per_host_budget_exact
+            and cfg.budget_plan == "rank_once"
+            and not resume_parts
+        )
+        if use_plan:
+            if plan_info is None:
+                plan_cols = frontier_cols + ["fetch_key", "host", "_allowed", "_subwave"]
+                plan_info = store.stage(
+                    "budget_plan",
+                    self._budget_plan(remaining, budget).select(*plan_cols),
+                    d,
+                )
+            plan_df = spark.read.parquet(*plan_info["files"])
+            counts = {
+                int(r["_subwave"]): int(r["n"])
+                for r in plan_df.groupBy("_subwave")
+                .agg(F.count("*").alias("n"))
+                .collect()
+            }
+            n_sub = (max(counts) + 1) if counts else 1
+            for subwave in range(subwave, n_sub):
+                sl = plan_df.filter(F.col("_subwave") == subwave).drop("_subwave")
+                parsed = self._fetch_and_parse(
+                    sl, rows_hint=counts.get(subwave, 0), blocked_counter=blocked_acc
+                )
+                info = store.stage(
+                    f"results_sub{subwave}" if subwave else "results", parsed, d
+                )
+                parsed_slices.append(info)
+                if subwave < n_sub - 1:
+                    # mid-wave checkpoint: completed slices + the plan
+                    # survive an interruption (north_star clause)
+                    store.commit_wave(
+                        d,
+                        {"phase": "partial", "subwave": subwave,
+                         "blocked_so_far": blocked_offset + blocked_acc.value},
+                        part=subwave,
+                    )
+            subwave = n_sub
+        else:
+            while True:
+                if budget:
+                    take, remaining = self._apply_budget(remaining, budget, subwave)
+                else:
+                    take, remaining = remaining, None
+                parsed = self._fetch_and_parse(
+                    take, rows_hint=frontier_rows, blocked_counter=blocked_acc
+                )
+                info = store.stage(
+                    f"results_sub{subwave}" if subwave else "results", parsed, d
+                )
+                parsed_slices.append(info)
+                if remaining is None:
+                    subwave += 1
+                    break
+                # stage the deferred slice FIRST: its manifest row count
+                # gates the loop for free, instead of a separate isEmpty()
+                # job per subwave (VERDICT r02 #6)
+                pending_info = store.stage(
+                    f"pending_sub{subwave}", remaining.select(*frontier_cols), d
+                )
+                if pending_info["rows"] == 0:
+                    subwave += 1
+                    break
+                # mid-wave checkpoint: completed slices + the deferred
+                # frontier survive an interruption (north_star clause)
+                store.commit_wave(
+                    d,
+                    {"phase": "partial", "subwave": subwave,
+                     "blocked_so_far": blocked_offset + blocked_acc.value},
+                    part=subwave,
+                )
+                # continue from the STAGED slice: breaks the per-subwave
+                # lineage chain (the lazy frame would re-run every prior
+                # budget window + the gate join on each new subwave)
+                remaining = regate(spark.read.parquet(*pending_info["files"]))
                 subwave += 1
-                break
-            # stage the deferred slice FIRST: its manifest row count
-            # gates the loop for free, instead of a separate isEmpty()
-            # job per subwave (VERDICT r02 #6)
-            pending_info = store.stage(
-                f"pending_sub{subwave}", remaining.select(*frontier_cols), d
-            )
-            if pending_info["rows"] == 0:
-                subwave += 1
-                break
-            # mid-wave checkpoint: completed slices + the deferred
-            # frontier survive an interruption (north_star clause)
-            store.commit_wave(
-                d,
-                {"phase": "partial", "subwave": subwave,
-                 "blocked_so_far": blocked_offset + blocked_acc.value},
-                part=subwave,
-            )
-            # continue from the STAGED slice: breaks the per-subwave
-            # lineage chain (the lazy frame would re-run every prior
-            # budget window + the gate join on each new subwave)
-            remaining = regate(spark.read.parquet(*pending_info["files"]))
-            subwave += 1
         lap("t_fetch_parse")
 
         # re-read staged results (cheap, avoids recompute) for candidates

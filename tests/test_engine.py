@@ -222,17 +222,21 @@ def test_resume_mid_crawl(spark, tmp_path):
     }
 
 
-def test_budget_defer_preserves_sets(spark, tmp_path):
+@pytest.mark.parametrize("mode", ["iterative", "rank_once"])
+def test_budget_defer_preserves_sets(spark, tmp_path, mode):
     """per-host politeness budget defers, never drops: same emitted
-    multiset + seen-set as unbudgeted (SURVEY.md §7.3)."""
+    multiset + seen-set as unbudgeted (SURVEY.md §7.3) — under both
+    sub-wave schedulers (the r8 rank-once plan and the iterative
+    loop), with the hot-host salt-split active."""
     pages_pdf, robots_pdf, seeds = testkit.nice_site(branching=4, max_id_len=3)
     cfg = CrawlConfig(From=seeds, MaxDepth=2, RespectNofollow=True,
-                      per_host_budget=3, hot_host_salt_threshold=5)
+                      per_host_budget=3, hot_host_salt_threshold=5,
+                      budget_plan=mode)
     crawler = SparkCrawler(
         spark, cfg,
         testkit.pages_to_spark(spark, pages_pdf),
         testkit.robots_to_spark(spark, robots_pdf),
-        workdir=str(tmp_path / "budget"),
+        workdir=str(tmp_path / f"budget-{mode}"),
     )
     crawler.run()
     _assert_match(crawler, _oracle_run(cfg, pages_pdf, robots_pdf))
@@ -240,6 +244,58 @@ def test_budget_defer_preserves_sets(spark, tmp_path):
     # wave 2 has 4 -> at least 2 subwaves
     metrics = {m["wave"]: m for m in crawler.store.metrics() if m["wave"] >= 0}
     assert metrics[2]["subwaves"] >= 2
+
+
+def test_budget_plan_contract(spark, tmp_path):
+    """The rank-once plan (r8) satisfies the politeness contract the
+    iterative loop guaranteed: per (host, salt slice, sub-wave) take
+    <= slice budget, blocked rows all in sub-wave 0, every row
+    assigned, sub-wave indexes contiguous from 0 — including with the
+    hot-host salt-split active."""
+    from pyspark.sql import functions as F
+
+    from crawlspark.schema import FRONTIER_SCHEMA
+
+    B, THRESH = 3, 10
+    hosts = {"hot.test": 25, "warm.test": 7, "cold.test": 2}
+    rows = []
+    for h, n in hosts.items():
+        for i in range(n):
+            u = f"http://{h}/p{i:03d}"
+            rows.append((u, u, 1, 2, None))
+    frontier = spark.createDataFrame(rows, FRONTIER_SCHEMA)
+    cfg = CrawlConfig(From=["http://hot.test/"], MaxDepth=1,
+                      per_host_budget=B, hot_host_salt_threshold=THRESH)
+    pages = testkit.pages_to_spark(
+        spark, testkit.nice_site(branching=2, max_id_len=2)[0]
+    )
+    robots = spark.createDataFrame(
+        [("http", h, 404, "") for h in hosts],
+        "scheme string, host string, status_code int, body string",
+    )
+    c = SparkCrawler(spark, cfg, pages, robots,
+                     workdir=str(tmp_path / "planned"))
+    gated = c._gate(frontier)
+    # block one host entirely: its rows must ride sub-wave 0 free
+    gated = gated.withColumn(
+        "_allowed", F.col("host") != F.lit("cold.test")
+    )
+    plan = c._budget_plan(gated, B)
+    pdf = plan.select("url_key", "host", "_allowed", "_subwave").toPandas()
+    assert len(pdf) == sum(hosts.values())  # every row assigned
+    assert (pdf[~pdf["_allowed"]]["_subwave"] == 0).all()  # blocked ride sub-wave 0
+    subs = sorted(pdf["_subwave"].unique())
+    assert subs == list(range(len(subs))) and subs[0] == 0  # contiguous
+    # per (host, sub-wave): allowed take <= ceil(B / n_slices) * n_slices
+    # (the documented approximate per-host bound of the salted default)
+    import math
+    for h, n in hosts.items():
+        if h == "cold.test":
+            continue
+        n_slices = max(1, math.ceil(n / THRESH))
+        cap = math.ceil(B / n_slices) * n_slices
+        got = pdf[(pdf["host"] == h) & pdf["_allowed"]].groupby("_subwave").size()
+        assert (got <= cap).all(), (h, got)
 
 
 def test_budget_exact_cap_under_skew(spark, tmp_path):
@@ -997,13 +1053,16 @@ def test_pacing_enabled_smoke(spark, tmp_path):
     _assert_match(c, _oracle_run(cfg, pages_pdf, robots_pdf))
 
 
-def test_midwave_resume(spark, tmp_path):
+@pytest.mark.parametrize("mode", ["iterative", "rank_once"])
+def test_midwave_resume(spark, tmp_path, mode):
     """Interrupt AFTER a politeness-subwave checkpoint but before the
-    wave completes: resume continues from the pending frontier and the
-    final output is identical to an uninterrupted budgeted run
-    (north_star: 'resumable mid-wave')."""
+    wave completes: resume continues from the checkpoint (the pending
+    frontier under the iterative loop; the staged budget plan under
+    rank_once) and the final output is identical to an uninterrupted
+    budgeted run (north_star: 'resumable mid-wave')."""
     pages_pdf, robots_pdf, seeds = testkit.nice_site(branching=4, max_id_len=3)
-    cfg = CrawlConfig(From=seeds, MaxDepth=2, RespectNofollow=True, per_host_budget=3)
+    cfg = CrawlConfig(From=seeds, MaxDepth=2, RespectNofollow=True,
+                      per_host_budget=3, budget_plan=mode)
 
     full = SparkCrawler(
         spark, cfg,
@@ -1022,18 +1081,21 @@ def test_midwave_resume(spark, tmp_path):
         testkit.robots_to_spark(spark, robots_pdf),
         workdir=str(tmp_path / "part"),
     )
-    orig = part._apply_budget
+    orig = part._fetch_and_parse
     calls = {"n": 0}
 
-    def boom(remaining, budget, *a):
+    def boom(*a, **k):
+        # one _fetch_and_parse per politeness sub-wave on every path
+        # (the r8 rank-once plan no longer calls _apply_budget per
+        # sub-wave): wave0 + wave1 are single sub-waves, wave2 (4
+        # urls, budget 3) checkpoints part0 after its first sub-wave;
+        # the 4th call is wave2's second sub-wave -> interrupt
         calls["n"] += 1
-        # wave2 (4 urls, budget 3) checkpoints part0 after its first
-        # subwave; the 4th call is wave2's second subwave -> interrupt
         if calls["n"] >= 4:
             raise Interrupted()
-        return orig(remaining, budget, *a)
+        return orig(*a, **k)
 
-    part._apply_budget = boom
+    part._fetch_and_parse = boom
     with pytest.raises(Interrupted):
         part.run()
     # a mid-wave part manifest must exist for wave 2
@@ -1132,6 +1194,18 @@ def test_budgeted_wave_plan_single_pass(spark, tmp_path):
         if "host#" in args:
             assert "_salt" in args, plan
     assert "count(1) windowspecdefinition" not in plan, plan
+    # the r8 rank-once plan staging job: robots UDF exactly once per
+    # WAVE (the plan carries _allowed), same salted-window guarantees
+    pplan = (
+        c._budget_plan(c._gate(frontier), cfg.per_host_budget)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert pplan.count("ArrowEvalPython") == 1, pplan
+    for spec in pplan.split("windowspecdefinition(")[1:]:
+        args = spec.split(")")[0]
+        if "host#" in args:
+            assert "_salt" in args, pplan
+    assert "count(1) windowspecdefinition" not in pplan, pplan
     # blocked rows never consume a budget slot: disallow-all robots
     robots_block = robots_pdf.copy()
     robots_block["body"] = "User-agent: *\nDisallow: /\n"
