@@ -53,13 +53,12 @@ from .store import SnapshotStore
 __all__ = ["SparkCrawler", "bucketize_pages"]
 
 
-def bucketize_pages(spark: SparkSession, pages_df: DataFrame, table: str, buckets: int = 32) -> DataFrame:
-    """Persist the pages corpus as a bucketed+sorted table on its join
-    key. The per-wave fetch join then shuffles ONLY the frontier side
-    (the bucketed scan satisfies the join's distribution requirement —
-    verified: `Bucketed: true`, no Exchange above the pages scan).
-    At 10^10 scale this halves the biggest shuffle in the pipeline
-    (PLANS.md shuffle inventory)."""
+def drop_catalog_table(spark: SparkSession, table: str) -> None:
+    """DROP TABLE plus warehouse-location cleanup: the catalog is
+    per-session but the warehouse dir persists, so an interrupted
+    prior process can leave an orphan location that would corrupt a
+    fresh saveAsTable (shared by bucketize_pages and the bucketed
+    seen layout — code-review r08 deduplication)."""
     import shutil
 
     spark.sql(f"DROP TABLE IF EXISTS {table}")
@@ -68,7 +67,17 @@ def bucketize_pages(spark: SparkSession, pages_df: DataFrame, table: str, bucket
         table.lower(),
     )
     if os.path.exists(loc):
-        shutil.rmtree(loc)  # orphan location from an interrupted write
+        shutil.rmtree(loc)
+
+
+def bucketize_pages(spark: SparkSession, pages_df: DataFrame, table: str, buckets: int = 32) -> DataFrame:
+    """Persist the pages corpus as a bucketed+sorted table on its join
+    key. The per-wave fetch join then shuffles ONLY the frontier side
+    (the bucketed scan satisfies the join's distribution requirement —
+    verified: `Bucketed: true`, no Exchange above the pages scan).
+    At 10^10 scale this halves the biggest shuffle in the pipeline
+    (PLANS.md shuffle inventory)."""
+    drop_catalog_table(spark, table)
     pages_df.write.bucketBy(buckets, "url").sortBy("url").mode("overwrite").saveAsTable(table)
     return spark.table(table)
 
@@ -267,6 +276,18 @@ class SparkCrawler:
         self.workdir = workdir or scratch.crawl_workdir()
         self.store = SnapshotStore(spark, self.workdir)
         self.check_payload = check_payload
+        # enum knobs fail LOUDLY on unknown values (code-review r08):
+        # equality-dispatched strings would otherwise make a typo'd
+        # seen_layout="Bucketed" silently run the O(seen)-shuffle
+        # slices layout at 10^10 — same pattern as seen_filter below
+        for knob, allowed in (
+            ("seen_join_shape", ("anti", "semi")),
+            ("seen_layout", ("slices", "bucketed")),
+            ("budget_plan", ("iterative", "rank_once")),
+        ):
+            v = getattr(cfg, knob)
+            if v not in allowed:
+                raise ValueError(f"unknown {knob} {v!r} (allowed: {allowed})")
         # pluggable seen-prefilter backend (north_rule "bloom/cuckoo"):
         # same mark/probe/empty_bits_df interface, same snapshot
         # persistence; cuckoo adds delete() for re-crawl expiry.
@@ -744,37 +765,39 @@ class SparkCrawler:
         spark = self.spark
         tbl = self._seen_table_name()
         if self._seen_tbl_synced is None:
-            import shutil
-
-            spark.sql(f"DROP TABLE IF EXISTS {tbl}")
-            loc = os.path.join(
-                spark.conf.get(
-                    "spark.sql.warehouse.dir", "spark-warehouse"
-                ).removeprefix("file:"),
-                tbl.lower(),
-            )
-            if os.path.exists(loc):
-                shutil.rmtree(loc)  # orphan from an interrupted run
+            drop_catalog_table(spark, tbl)
             self._seen_tbl_synced = set()
         # sync key is (manifest wave, table): a mid-wave PARTIAL
         # manifest for wave d carries no frontier slice yet — keying
         # on the wave alone would mark it synced and skip the full
-        # commit's slice
+        # commit's slice. All missing slices union into ONE append
+        # job (code-review r08: a resume at wave N was paying N+1
+        # sequential write jobs on first use) — steady state appends
+        # exactly the one new slice per wave either way.
         have = self._seen_tbl_synced
+        missing = []
+        fresh: list[tuple] = []
         for m in self.store._manifests():
             for t in ("frontier", "warm_seen"):
                 info = m["tables"].get(t)
                 if not info or (m["wave"], t) in have:
                     continue
-                (
+                missing.append(
                     spark.read.parquet(*info["files"])
                     .select("url_key")
                     .withColumn("m", F.lit(m["wave"]))
-                    .write.bucketBy(self.cfg.seen_buckets, "url_key")
-                    .mode("append")
-                    .saveAsTable(tbl)
                 )
-                have.add((m["wave"], t))
+                fresh.append((m["wave"], t))
+        if missing:
+            from functools import reduce
+
+            (
+                reduce(lambda a, b: a.unionByName(b), missing)
+                .write.bucketBy(self.cfg.seen_buckets, "url_key")
+                .mode("append")
+                .saveAsTable(tbl)
+            )
+            have.update(fresh)
         if not have:
             return None
         return spark.table(tbl).filter(F.col("m") <= F.lit(d - 1)).select("url_key")

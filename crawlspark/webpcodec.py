@@ -772,6 +772,14 @@ def _literal_decode_fast(
 # the spec-maximal single-token emission (RFC 9649 §4.2.2)
 _MAX_LZ77_LEN = 4096
 
+# the token-level fast path builds ~20 per-bit-position arrays (~90
+# bytes per stream BIT, ~720 per byte): cap the stream size it will
+# take so a legitimate multi-megabyte foreign file can't balloon an
+# executor to gigabytes inside mapInPandas — larger streams fall back
+# to the O(pixels)-memory per-pixel reference loop (code-review r08).
+# 128 KiB ≈ 90 MB peak; own-encoded payload images are far below it.
+_FAST_LZ77_MAX_BYTES = 128 * 1024
+
 
 def _prefix_encode_value(v: int) -> tuple[int, int, int]:
     """Inverse of _prefix_value: value -> (prefix code, n extra bits,
@@ -1112,12 +1120,15 @@ def _decode_image_stream(br: _BitReader, w: int, h: int, is_level0: bool) -> np.
             # literal-only stream (no cache, one group, green code
             # carries no LZ77 length symbols): pixel-level vectorized
             out, end_bit = _literal_decode_fast(br.data, br.pos, n, groups[0][:4])
-        else:
+            br.pos = end_bit
+            return out
+        if len(br.data) - (br.pos >> 3) <= _FAST_LZ77_MAX_BYTES:
             # cache-less LZ77 stream (own lz77 profile + the common
-            # foreign shape): token-level vectorized
+            # foreign shape): token-level vectorized; oversized
+            # streams fall through to the O(pixels)-memory loop
             out, end_bit = _lz77_decode_fast(br.data, br.pos, n, groups[0], w)
-        br.pos = end_bit
-        return out
+            br.pos = end_bit
+            return out
     if n_groups > 1:  # a trivial entropy image needs no per-pixel map
         ys = np.arange(n, dtype=np.int64) // w >> meta_bits
         xs = np.arange(n, dtype=np.int64) % w >> meta_bits
@@ -1363,5 +1374,16 @@ def _inv_palette(
         idx = (green[:, :, None] >> shifts) & ((1 << bits) - 1)
         idx = idx.reshape(h, pw * per)[:, :w].reshape(-1)
     if int(idx.max(initial=0)) >= palette.shape[0]:
-        raise ValueError("webp: color index out of palette range")
+        # RFC 9649 §4.4.4: an index past the color table decodes to
+        # transparent black — a SPEC-LEGAL stream outside this
+        # module's RGB-only subset, so NotImplementedError (the
+        # valid-but-out-of-subset class, which imagecodec.decode
+        # routes to the PIL fallback hook), with the dedicated
+        # message ADVICE r07 asked for instead of the generic
+        # downstream alpha gate (code-review r08: a ValueError here
+        # bypassed the fallback for conformant streams)
+        raise NotImplementedError(
+            "webp: color index out of palette range decodes to "
+            "transparent black (non-opaque alpha unsupported)"
+        )
     return palette[idx].copy()

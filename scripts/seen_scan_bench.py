@@ -119,20 +119,9 @@ def _bucketed_seen(spark, n_seen: int, buckets: int = 32):
     the bucket spec)."""
     tbl = f"seen_keys_bench_{n_seen}"
     if not spark.catalog.tableExists(tbl):
-        # orphan location from a previous process (same guard as
-        # engine.bucketize_pages): the catalog is per-session but the
-        # warehouse dir persists
-        import shutil
+        from crawlspark.engine import drop_catalog_table
 
-        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
-        loc = os.path.join(
-            spark.conf.get(
-                "spark.sql.warehouse.dir", "spark-warehouse"
-            ).removeprefix("file:"),
-            tbl.lower(),
-        )
-        if os.path.exists(loc):
-            shutil.rmtree(loc)
+        drop_catalog_table(spark, tbl)
         t0 = time.time()
         spark.read.parquet(_seen_dir(n_seen)).write.bucketBy(
             buckets, "url_key"

@@ -1395,3 +1395,22 @@ def test_filter_apis_ship_package_at_definition_time(spark):
         sc._crawlspark_shipped = False
         call()  # definition alone must ship — no action/execution
         assert getattr(sc, "_crawlspark_shipped", False)
+
+
+def test_unknown_enum_knobs_fail_loudly(spark, tmp_path):
+    """Typo'd string knobs must raise at construction, not silently
+    run the default code path (code-review r08): a 10^10 deployment
+    configured seen_layout='Bucketed' would otherwise silently run
+    the O(seen)-shuffle slices layout."""
+    pages_pdf, robots_pdf, seeds = testkit.nice_site(branching=2, max_id_len=2)
+    pages = testkit.pages_to_spark(spark, pages_pdf)
+    robots = testkit.robots_to_spark(spark, robots_pdf)
+    for knob, bad in (
+        ("seen_join_shape", "semi-bucketed"),
+        ("seen_layout", "Bucketed"),
+        ("budget_plan", "rank-once"),
+    ):
+        cfg = CrawlConfig(From=seeds, MaxDepth=1, **{knob: bad})
+        with pytest.raises(ValueError, match=f"unknown {knob}"):
+            SparkCrawler(spark, cfg, pages, robots,
+                         workdir=str(tmp_path / f"bad-{knob}"))

@@ -850,7 +850,10 @@ def test_decoder_color_indexing_bundled():
 def test_decoder_color_indexing_oob_index_fails_loudly():
     """An index past the palette (transparent black per the spec) must
     raise its own range error at the lookup, not surface as a
-    misleading downstream alpha failure (ADVICE r07)."""
+    misleading downstream alpha failure (ADVICE r07) — and as
+    NotImplementedError, because the stream is SPEC-LEGAL and merely
+    outside the RGB-only subset: imagecodec.decode routes that class
+    to the PIL fallback hook (code-review r08)."""
     bw = W._BitWriter()
     _header(bw, 4, 1)
     bw.write(1, 1)
@@ -862,7 +865,7 @@ def test_decoder_color_indexing_oob_index_fails_loudly():
     bw.write(0, 1)
     packed = 0 | (1 << 2) | (2 << 4) | (3 << 6)  # last index OOB
     _write_image_stream(bw, [(0, packed, 0, 255)], level0=True)
-    with pytest.raises(ValueError, match="palette range"):
+    with pytest.raises(NotImplementedError, match="palette range"):
         decode_webp(_container(bw))
 
 
@@ -1353,3 +1356,27 @@ def test_encoder_lz77_and_palette_are_exclusive():
     arr = np.zeros((4, 4, 3), np.uint8)
     with pytest.raises(ValueError, match="mutually exclusive"):
         encode_webp(arr, palette=True, lz77=True)
+
+
+def test_lz77_fast_path_size_cap_falls_back(monkeypatch):
+    """Streams past _FAST_LZ77_MAX_BYTES take the O(pixels)-memory
+    reference loop instead of the per-bit-position fast path
+    (code-review r08: ~720 bytes of arrays per stream byte would
+    balloon on a multi-megabyte foreign file) — same output."""
+    rng = np.random.RandomState(3)
+    img = np.tile(rng.randint(0, 256, (1, 40, 3)).astype(np.uint8), (30, 1, 1))
+    blob = encode_webp(img, lz77=True)
+    calls = []
+    orig = W._lz77_decode_fast
+
+    def spy(*a, **k):
+        calls.append(1)
+        return orig(*a, **k)
+
+    monkeypatch.setattr(W, "_lz77_decode_fast", spy)
+    assert np.array_equal(decode_webp(blob), img)
+    assert calls, "sanity: under the cap the fast path runs"
+    calls.clear()
+    monkeypatch.setattr(W, "_FAST_LZ77_MAX_BYTES", 8)
+    assert np.array_equal(decode_webp(blob), img)  # loop path, same pixels
+    assert not calls, "oversized stream must not take the fast path"
