@@ -694,13 +694,30 @@ def _literal_decode_fast(
     ``decoders`` is the stream-ordered [green, red, blue, alpha] list;
     single-symbol channels consume zero bits and appear only as
     constants. Returns ((n, 4) uint8 rows in R, G, B, A column order,
-    end bit position) — the caller must advance its bit reader to the
-    end position: sub-resolution images (transform tiles, palettes,
-    entropy images) are followed by more reads in the same stream.
+    ABSOLUTE end bit position) — the caller must advance its bit
+    reader to the end position: sub-resolution images (transform
+    tiles, palettes, entropy images) are followed by more reads in
+    the same stream.
+
+    All per-position arrays are built over the REACHABLE WINDOW only
+    (code-review r08): the consumed prefix before ``start_bit`` is
+    sliced off (a numpy view, no copy) and the width is clamped to
+    the pixel-derived worst case (n pixels x <= 60 bits + one-token
+    pad — no legitimate decode can read past it), so memory is
+    O(min(remaining stream, pixels)) instead of O(whole buffer), and
+    sub-image decodes late in a large payload no longer re-pay
+    unpackbits over everything already consumed.
     """
-    nbits = len(stream) * 8
-    if start_bit > nbits:
+    if start_bit > len(stream) * 8:
         raise ValueError("webp: truncated VP8L bitstream")
+    byte0 = start_bit >> 3
+    base_bits = byte0 << 3
+    start_bit -= base_bits
+    win_bytes = min(
+        len(stream) - byte0, (start_bit + n * 61 + 4 * _PEEK + 8) // 8 + 1
+    )
+    buf = np.frombuffer(stream, dtype=np.uint8)[byte0 : byte0 + win_bytes]
+    nbits = win_bytes * 8
     # plausibility gate BEFORE the O(n) allocations: every pixel costs
     # at least the sum of the non-constant channels' shortest codes,
     # so a tiny corrupt stream declaring a huge w*h raises here in
@@ -718,10 +735,10 @@ def _literal_decode_fast(
         col_of = (1, 0, 2, 3)
         for ci, dec in enumerate(decoders):
             out[:, col_of[ci]] = next(iter(dec.code_map))
-        return out, start_bit
+        return out, base_bits + start_bit
     if start_bit + n * min_bits > nbits:
         raise ValueError("webp: truncated VP8L bitstream")
-    bits = np.unpackbits(np.frombuffer(stream, dtype=np.uint8), bitorder="little")
+    bits = np.unpackbits(buf, bitorder="little")
     pad = 4 * _PEEK + 1  # one pixel's worst case past the end
     M = nbits + pad
     bitsp = np.concatenate([bits, np.zeros(pad + _PEEK, dtype=np.uint8)])
@@ -765,20 +782,23 @@ def _literal_decode_fast(
         pos = pos + len_at[pc]
     if int(pos[-1]) > nbits:
         raise ValueError("webp: truncated VP8L bitstream")
-    return out, int(pos[-1])
+    return out, base_bits + int(pos[-1])
 
 
 # LZ77 length prefix 23 reaches (3 << 10) + 1023 + 1 = 4096 pixels —
 # the spec-maximal single-token emission (RFC 9649 §4.2.2)
 _MAX_LZ77_LEN = 4096
 
-# the token-level fast path builds ~20 per-bit-position arrays (~90
-# bytes per stream BIT, ~720 per byte): cap the stream size it will
-# take so a legitimate multi-megabyte foreign file can't balloon an
-# executor to gigabytes inside mapInPandas — larger streams fall back
-# to the O(pixels)-memory per-pixel reference loop (code-review r08).
-# 128 KiB ≈ 90 MB peak; own-encoded payload images are far below it.
-_FAST_LZ77_MAX_BYTES = 128 * 1024
+# the fast paths build per-bit-position arrays over their REACHABLE
+# WINDOW (min(remaining stream, n*61 bits) — both functions slice to
+# it): ~45 bytes/bit literal, ~90 bytes/bit LZ77. Cap the window a
+# fast path will take so a genuinely large image in a large stream
+# can't balloon an executor to gigabytes inside mapInPandas — past it
+# the per-pixel reference loop (O(pixels) memory) decodes instead
+# (code-review r08 x2: the first cap measured the remaining suffix
+# while the arrays covered the whole buffer, and left the literal
+# path uncapped). 256 KiB ≈ 90-180 MB peak; payload images ≪ that.
+_FAST_DECODE_MAX_BYTES = 256 * 1024
 
 
 def _prefix_encode_value(v: int) -> tuple[int, int, int]:
@@ -825,9 +845,19 @@ def _lz77_decode_fast(
     per-pixel reference loop by tests (FAST_LITERAL toggles both
     paths)."""
     green_dec, red_dec, blue_dec, alpha_dec, dist_dec = group
-    nbits = len(stream) * 8
-    if start_bit > nbits:
+    if start_bit > len(stream) * 8:
         raise ValueError("webp: truncated VP8L bitstream")
+    # reachable window only (code-review r08, same as the literal
+    # path): drop the consumed prefix, clamp to the token-derived
+    # worst case (<= n tokens x <= 60 bits + one-token pad) — memory
+    # is O(min(remaining stream, pixels)), not O(whole buffer), and
+    # the returned end position is absolute
+    byte0 = start_bit >> 3
+    base_bits = byte0 << 3
+    start_bit -= base_bits
+    win_bytes = min(len(stream) - byte0, (start_bit + n * 61 + 160) // 8 + 1)
+    buf = np.frombuffer(stream, dtype=np.uint8)[byte0 : byte0 + win_bytes]
+    nbits = win_bytes * 8
     min_g = min(ln for _c, ln in green_dec.code_map.values())
     if min_g == 0:
         # single-symbol green here is necessarily a length prefix (a
@@ -839,9 +869,11 @@ def _lz77_decode_fast(
     # O(1) gate, weakened by LZ77's fan-out): every token costs at
     # least min_g bits and emits at most _MAX_LZ77_LEN pixels
     min_tokens = -(-n // _MAX_LZ77_LEN)
+    # (the window clamp is >= start + n*61 bits, far above this
+    # gate's worst demand of ~n*0.004 bits — it can never false-fire)
     if start_bit + min_tokens * min_g > nbits:
         raise ValueError("webp: truncated VP8L bitstream")
-    bits = np.unpackbits(np.frombuffer(stream, dtype=np.uint8), bitorder="little")
+    bits = np.unpackbits(buf, bitorder="little")
     # pad covers one worst-case token (4x15-bit literal / 58-bit copy)
     # so no real token's chain ever hits the clamp; only a final token
     # overrunning nbits can, and the end-position check catches it
@@ -972,7 +1004,7 @@ def _lz77_decode_fast(
             out[s : s + ln] = np.tile(out[s - d : s], (-(-ln // d), 1))[:ln]
     if t_bad is not None:  # truncation at/after the last copy token
         raise ValueError("webp: truncated VP8L bitstream")
-    return out, int(ends[-1])
+    return out, base_bits + int(ends[-1])
 
 
 def decode_webp(data: bytes) -> np.ndarray:
@@ -1115,20 +1147,24 @@ def _decode_image_stream(br: _BitReader, w: int, h: int, is_level0: bool) -> np.
         n_groups = int(midx.max()) + 1
     groups = [_read_prefix_group(br, cache_size) for _ in range(n_groups)]
     n = w * h
-    if FAST_LITERAL and cache_bits == 0 and n_groups == 1:
+    reach = min(len(br.data) - (br.pos >> 3), (n * 61) // 8 + 32)
+    if (
+        FAST_LITERAL
+        and cache_bits == 0
+        and n_groups == 1
+        and reach <= _FAST_DECODE_MAX_BYTES
+    ):
         if all(s < 256 for s in groups[0][0].code_map):
             # literal-only stream (no cache, one group, green code
             # carries no LZ77 length symbols): pixel-level vectorized
             out, end_bit = _literal_decode_fast(br.data, br.pos, n, groups[0][:4])
-            br.pos = end_bit
-            return out
-        if len(br.data) - (br.pos >> 3) <= _FAST_LZ77_MAX_BYTES:
+        else:
             # cache-less LZ77 stream (own lz77 profile + the common
             # foreign shape): token-level vectorized; oversized
-            # streams fall through to the O(pixels)-memory loop
+            # reachable windows fall through to the O(pixels) loop
             out, end_bit = _lz77_decode_fast(br.data, br.pos, n, groups[0], w)
-            br.pos = end_bit
-            return out
+        br.pos = end_bit
+        return out
     if n_groups > 1:  # a trivial entropy image needs no per-pixel map
         ys = np.arange(n, dtype=np.int64) // w >> meta_bits
         xs = np.arange(n, dtype=np.int64) % w >> meta_bits

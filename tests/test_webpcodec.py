@@ -1359,10 +1359,10 @@ def test_encoder_lz77_and_palette_are_exclusive():
 
 
 def test_lz77_fast_path_size_cap_falls_back(monkeypatch):
-    """Streams past _FAST_LZ77_MAX_BYTES take the O(pixels)-memory
-    reference loop instead of the per-bit-position fast path
-    (code-review r08: ~720 bytes of arrays per stream byte would
-    balloon on a multi-megabyte foreign file) — same output."""
+    """Reachable windows past _FAST_DECODE_MAX_BYTES take the
+    O(pixels)-memory reference loop instead of the per-bit-position
+    fast paths (code-review r08 x2: the cap guards BOTH paths and
+    measures the window the arrays actually cover) — same output."""
     rng = np.random.RandomState(3)
     img = np.tile(rng.randint(0, 256, (1, 40, 3)).astype(np.uint8), (30, 1, 1))
     blob = encode_webp(img, lz77=True)
@@ -1377,6 +1377,41 @@ def test_lz77_fast_path_size_cap_falls_back(monkeypatch):
     assert np.array_equal(decode_webp(blob), img)
     assert calls, "sanity: under the cap the fast path runs"
     calls.clear()
-    monkeypatch.setattr(W, "_FAST_LZ77_MAX_BYTES", 8)
+    monkeypatch.setattr(W, "_FAST_DECODE_MAX_BYTES", 8)
     assert np.array_equal(decode_webp(blob), img)  # loop path, same pixels
     assert not calls, "oversized stream must not take the fast path"
+
+
+def test_literal_fast_path_size_cap_and_window(monkeypatch):
+    """The literal fast path honors the same cap, and both paths
+    build arrays over the reachable WINDOW, not the whole buffer:
+    a sub-image decode late in the stream returns the correct
+    ABSOLUTE end position (the palette profile's second image starts
+    mid-stream — its pixels pin the slicing arithmetic)."""
+    rng = np.random.RandomState(11)
+    img = rng.randint(0, 256, (9, 9, 3)).astype(np.uint8)
+    blob = encode_webp(img)
+    calls = []
+    orig = W._literal_decode_fast
+
+    def spy(*a, **k):
+        calls.append(a[1])  # start_bit
+        return orig(*a, **k)
+
+    monkeypatch.setattr(W, "_literal_decode_fast", spy)
+    assert np.array_equal(decode_webp(blob), img)
+    assert calls
+    calls.clear()
+    monkeypatch.setattr(W, "_FAST_DECODE_MAX_BYTES", 0)
+    assert np.array_equal(decode_webp(blob), img)  # loop path
+    assert not calls, "capped literal stream must not take the fast path"
+    monkeypatch.setattr(W, "_FAST_DECODE_MAX_BYTES", 256 * 1024)
+    # palette profile: two spatially-coded images in one stream — the
+    # second (bundled indices) starts at a nonzero bit offset, so a
+    # relative-vs-absolute end-position bug corrupts it
+    pal = np.stack([np.arange(16), (np.arange(16) * 7) % 256,
+                    (np.arange(16) * 13) % 256], axis=1).astype(np.uint8)
+    pimg = pal[rng.randint(0, 16, (12, 17))]
+    pblob = encode_webp(pimg, palette=True)
+    assert np.array_equal(decode_webp(pblob), pimg)
+    assert any(s > 0 for s in calls), "no mid-stream sub-image decoded"
