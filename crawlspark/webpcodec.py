@@ -657,6 +657,30 @@ def _prefix_value(code: int, br: _BitReader) -> int:
 FAST_LITERAL = True
 _PEEK = 15  # spec-maximal code length — one LUT covers every code
 
+# worst-case window slack past n*61 data bits: one token's chain of
+# 15-bit LUT gathers (literal: 4 channels) / the LZ77 chain's 18-bit
+# extra window — the SINGLE source both fast paths and the
+# dispatcher's cap check derive their window from (_fast_window), so
+# the gate can never under-estimate what the functions allocate
+# (code-review r08 third pass)
+_LIT_PAD_BITS = 4 * _PEEK + 8
+_LZ77_PAD_BITS = 160
+
+
+def _fast_window(stream: bytes, start_bit: int, n: int, pad_bits: int):
+    """Reachable window for a fast-path decode of ``n`` pixels from
+    ``start_bit``: (first byte, relative start bit, window bytes).
+    The window is min(remaining stream, worst-case consumption =
+    relative start + n*61 bits + pad) — no legitimate decode of n
+    pixels can read past it (literal pixel <= 60 bits, LZ77 token
+    <= 58), so clamping cannot make a truncation check false-fire."""
+    if start_bit > len(stream) * 8:
+        raise ValueError("webp: truncated VP8L bitstream")
+    byte0 = start_bit >> 3
+    rel = start_bit - (byte0 << 3)
+    win_bytes = min(len(stream) - byte0, (rel + n * 61 + pad_bits) // 8 + 1)
+    return byte0, rel, win_bytes
+
 
 def _lut_from_code_map(code_map: dict[int, tuple[int, int]]):
     """(sym, len) LUTs over every 15-bit stream window. Window bit j
@@ -677,7 +701,7 @@ def _lut_from_code_map(code_map: dict[int, tuple[int, int]]):
 
 def _literal_decode_fast(
     stream: bytes, start_bit: int, n: int, decoders
-) -> np.ndarray:
+) -> tuple[np.ndarray, int]:
     """Decode ``n`` literal pixels (no LZ77, no color cache) starting
     at ``start_bit`` — fully vectorized, no per-pixel Python loop.
 
@@ -706,16 +730,12 @@ def _literal_decode_fast(
     pad — no legitimate decode can read past it), so memory is
     O(min(remaining stream, pixels)) instead of O(whole buffer), and
     sub-image decodes late in a large payload no longer re-pay
-    unpackbits over everything already consumed.
+    unpackbits over everything already consumed. Large images are
+    decoded in pixel CHUNKS by the dispatcher, so this function's
+    window (hence memory) stays bounded at any image size.
     """
-    if start_bit > len(stream) * 8:
-        raise ValueError("webp: truncated VP8L bitstream")
-    byte0 = start_bit >> 3
+    byte0, start_bit, win_bytes = _fast_window(stream, start_bit, n, _LIT_PAD_BITS)
     base_bits = byte0 << 3
-    start_bit -= base_bits
-    win_bytes = min(
-        len(stream) - byte0, (start_bit + n * 61 + 4 * _PEEK + 8) // 8 + 1
-    )
     buf = np.frombuffer(stream, dtype=np.uint8)[byte0 : byte0 + win_bytes]
     nbits = win_bytes * 8
     # plausibility gate BEFORE the O(n) allocations: every pixel costs
@@ -790,15 +810,18 @@ def _literal_decode_fast(
 _MAX_LZ77_LEN = 4096
 
 # the fast paths build per-bit-position arrays over their REACHABLE
-# WINDOW (min(remaining stream, n*61 bits) — both functions slice to
-# it): ~45 bytes/bit literal, ~90 bytes/bit LZ77. Cap the window a
-# fast path will take so a genuinely large image in a large stream
-# can't balloon an executor to gigabytes inside mapInPandas — past it
-# the per-pixel reference loop (O(pixels) memory) decodes instead
-# (code-review r08 x2: the first cap measured the remaining suffix
-# while the arrays covered the whole buffer, and left the literal
-# path uncapped). 256 KiB ≈ 90-180 MB peak; payload images ≪ that.
+# WINDOW (min(remaining stream, n*61 bits), via _fast_window — both
+# functions slice to it): ~45 bytes/bit literal, ~90 bytes/bit LZ77.
+# Literal streams chunk by pixels (independent), so only the
+# unchunkable LZ77 path needs a cap: past it the per-pixel reference
+# loop (O(pixels) memory) decodes instead (code-review r08 x2: the
+# first cap measured the remaining suffix while the arrays covered
+# the whole buffer, and left the literal path uncapped). 256 KiB
+# window ≈ 180 MB peak; own payload images are far below it.
 _FAST_DECODE_MAX_BYTES = 256 * 1024
+_FAST_LITERAL_CHUNK = 1 << 15  # pixels per literal chunk: 32k px x 61
+# worst-case bits = a <=250 KiB window (~90 MB of arrays) per chunk;
+# the 192x128 payload shape stays single-chunk
 
 
 def _prefix_encode_value(v: int) -> tuple[int, int, int]:
@@ -845,17 +868,13 @@ def _lz77_decode_fast(
     per-pixel reference loop by tests (FAST_LITERAL toggles both
     paths)."""
     green_dec, red_dec, blue_dec, alpha_dec, dist_dec = group
-    if start_bit > len(stream) * 8:
-        raise ValueError("webp: truncated VP8L bitstream")
     # reachable window only (code-review r08, same as the literal
     # path): drop the consumed prefix, clamp to the token-derived
     # worst case (<= n tokens x <= 60 bits + one-token pad) — memory
     # is O(min(remaining stream, pixels)), not O(whole buffer), and
     # the returned end position is absolute
-    byte0 = start_bit >> 3
+    byte0, start_bit, win_bytes = _fast_window(stream, start_bit, n, _LZ77_PAD_BITS)
     base_bits = byte0 << 3
-    start_bit -= base_bits
-    win_bytes = min(len(stream) - byte0, (start_bit + n * 61 + 160) // 8 + 1)
     buf = np.frombuffer(stream, dtype=np.uint8)[byte0 : byte0 + win_bytes]
     nbits = win_bytes * 8
     min_g = min(ln for _c, ln in green_dec.code_map.values())
@@ -1147,24 +1166,32 @@ def _decode_image_stream(br: _BitReader, w: int, h: int, is_level0: bool) -> np.
         n_groups = int(midx.max()) + 1
     groups = [_read_prefix_group(br, cache_size) for _ in range(n_groups)]
     n = w * h
-    reach = min(len(br.data) - (br.pos >> 3), (n * 61) // 8 + 32)
-    if (
-        FAST_LITERAL
-        and cache_bits == 0
-        and n_groups == 1
-        and reach <= _FAST_DECODE_MAX_BYTES
-    ):
+    if FAST_LITERAL and cache_bits == 0 and n_groups == 1:
         if all(s < 256 for s in groups[0][0].code_map):
             # literal-only stream (no cache, one group, green code
-            # carries no LZ77 length symbols): pixel-level vectorized
-            out, end_bit = _literal_decode_fast(br.data, br.pos, n, groups[0][:4])
-        else:
-            # cache-less LZ77 stream (own lz77 profile + the common
-            # foreign shape): token-level vectorized; oversized
-            # reachable windows fall through to the O(pixels) loop
+            # carries no LZ77 length symbols): pixel-level vectorized,
+            # decoded in fixed pixel CHUNKS — pixels are independent
+            # and the function returns its end bit, so memory stays
+            # bounded at ~_FAST_LITERAL_CHUNK*61 bits of arrays at ANY
+            # image size (code-review r08 third pass: a single gated
+            # call sent >34k-px literal images to the 60x-slower loop)
+            parts = []
+            pos = br.pos
+            for off in range(0, n, _FAST_LITERAL_CHUNK):
+                m = min(_FAST_LITERAL_CHUNK, n - off)
+                o, pos = _literal_decode_fast(br.data, pos, m, groups[0][:4])
+                parts.append(o)
+            br.pos = pos
+            return parts[0] if len(parts) == 1 else np.concatenate(parts)
+        # cache-less LZ77 stream (own lz77 profile + the common
+        # foreign shape): token-level vectorized. Tokens can reference
+        # any earlier pixel, so this path can't chunk — the dispatch
+        # cap (measured with the SAME window formula the function
+        # allocates by) sends oversized windows to the O(pixels) loop
+        if _fast_window(br.data, br.pos, n, _LZ77_PAD_BITS)[2] <= _FAST_DECODE_MAX_BYTES:
             out, end_bit = _lz77_decode_fast(br.data, br.pos, n, groups[0], w)
-        br.pos = end_bit
-        return out
+            br.pos = end_bit
+            return out
     if n_groups > 1:  # a trivial entropy image needs no per-pixel map
         ys = np.arange(n, dtype=np.int64) // w >> meta_bits
         xs = np.arange(n, dtype=np.int64) % w >> meta_bits

@@ -1382,30 +1382,33 @@ def test_lz77_fast_path_size_cap_falls_back(monkeypatch):
     assert not calls, "oversized stream must not take the fast path"
 
 
-def test_literal_fast_path_size_cap_and_window(monkeypatch):
-    """The literal fast path honors the same cap, and both paths
-    build arrays over the reachable WINDOW, not the whole buffer:
-    a sub-image decode late in the stream returns the correct
-    ABSOLUTE end position (the palette profile's second image starts
-    mid-stream — its pixels pin the slicing arithmetic)."""
+def test_literal_fast_path_chunks_and_window(monkeypatch):
+    """The literal fast path decodes in pixel chunks (code-review r08
+    third pass: pixels are independent, so memory stays bounded at
+    any image size WITHOUT falling back to the 60x-slower loop), and
+    both paths build arrays over the reachable WINDOW with ABSOLUTE
+    end positions: a sub-image decode late in the stream (the palette
+    profile's second image) pins the slicing arithmetic."""
     rng = np.random.RandomState(11)
     img = rng.randint(0, 256, (9, 9, 3)).astype(np.uint8)
     blob = encode_webp(img)
     calls = []
     orig = W._literal_decode_fast
 
-    def spy(*a, **k):
-        calls.append(a[1])  # start_bit
-        return orig(*a, **k)
+    def spy(stream, start_bit, n, decs):
+        calls.append((start_bit, n))
+        return orig(stream, start_bit, n, decs)
 
     monkeypatch.setattr(W, "_literal_decode_fast", spy)
     assert np.array_equal(decode_webp(blob), img)
-    assert calls
+    assert len(calls) == 1  # 81 px: one chunk
     calls.clear()
-    monkeypatch.setattr(W, "_FAST_DECODE_MAX_BYTES", 0)
-    assert np.array_equal(decode_webp(blob), img)  # loop path
-    assert not calls, "capped literal stream must not take the fast path"
-    monkeypatch.setattr(W, "_FAST_DECODE_MAX_BYTES", 256 * 1024)
+    monkeypatch.setattr(W, "_FAST_LITERAL_CHUNK", 20)
+    assert np.array_equal(decode_webp(blob), img)  # chunked, same pixels
+    assert len(calls) == 5 and [c[1] for c in calls] == [20, 20, 20, 20, 1]
+    assert calls[1][0] > calls[0][0]  # each chunk resumes at the prior end
+    calls.clear()
+    monkeypatch.setattr(W, "_FAST_LITERAL_CHUNK", 1 << 16)
     # palette profile: two spatially-coded images in one stream — the
     # second (bundled indices) starts at a nonzero bit offset, so a
     # relative-vs-absolute end-position bug corrupts it
@@ -1414,4 +1417,4 @@ def test_literal_fast_path_size_cap_and_window(monkeypatch):
     pimg = pal[rng.randint(0, 16, (12, 17))]
     pblob = encode_webp(pimg, palette=True)
     assert np.array_equal(decode_webp(pblob), pimg)
-    assert any(s > 0 for s in calls), "no mid-stream sub-image decoded"
+    assert any(c[0] > 0 for c in calls), "no mid-stream sub-image decoded"
