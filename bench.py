@@ -108,6 +108,13 @@ def build_spark(cpus: str = CPUS):
         # pure scheduler idle time (measured ~10-15% on the wave-heavy
         # deep drain, which pays scheduling per wave)
         .config("spark.locality.wait", "0")
+        # v2 output commit: tasks rename their own files, removing the
+        # driver-serial per-file rename pass from every staged slice
+        # (a per-sub-wave Amdahl term on budgeted waves, VERDICT r08
+        # #2). Safe HERE by construction: the store's manifest commit
+        # gates visibility, so v2's weaker failure atomicity (partial
+        # task files left on abort) can never leak into a read.
+        .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
         .config("spark.driver.memory", "16g")
         .config("spark.ui.enabled", "false")
         .getOrCreate()
@@ -350,6 +357,50 @@ def bench_queries(spark) -> dict[str, float]:
     return out
 
 
+# the driver captures only the TAIL of stdout (~2,000 chars) — r8's
+# line hit 2,218 once the calibration_attempts trail landed and the
+# driver recorded `parsed: null` (VERDICT r08 #1). Hard budget with
+# slack; full detail goes to the sidecar below.
+LINE_MAX = 1800
+DETAIL_PATH = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "bench", "BENCH_DETAIL.json"
+)
+
+
+def emit(result: dict, detail_path: str = DETAIL_PATH) -> str:
+    """Split the bench record into the ONE compact stdout JSON line
+    (driver contract: < LINE_MAX chars so the driver's tail capture
+    parses it) and a full-detail sidecar file. The line keeps every
+    graded number (value/queries/urls_per_sec/calibration_sec) plus a
+    per-leg [first, last, n] summary of the settle-gate attempt trail;
+    the sidecar keeps the complete trails, per-leg samples, row counts
+    and the long metric description."""
+    detail_keys = ("samples", "calibration_attempts", "rows", "metric")
+    detail = {k: result[k] for k in detail_keys if k in result}
+    line_rec = {k: v for k, v in result.items() if k not in detail_keys}
+    line_rec["metric"] = result.get("metric", "").split(" (")[0]
+    line_rec["calibration_attempts"] = {
+        tag: ([r[0], r[-1], len(r)] if r else [])
+        for tag, r in result.get("calibration_attempts", {}).items()
+    }
+    os.makedirs(os.path.dirname(detail_path), exist_ok=True)
+    with open(detail_path, "w") as f:
+        json.dump(detail, f, indent=1)
+    line_rec["detail"] = os.path.relpath(
+        detail_path, os.path.dirname(os.path.abspath(__file__))
+    )
+    line = json.dumps(line_rec)
+    # emergency pruning, least-graded keys first — never the queries
+    # or the headline value
+    for k in ("detail", "calibration_attempts", "rows"):
+        if len(line) <= LINE_MAX:
+            break
+        line_rec.pop(k, None)
+        line = json.dumps(line_rec)
+    assert len(line) <= LINE_MAX, (len(line), "bench line over driver budget")
+    return line
+
+
 def main():
     attempts_log: dict = {}
     cal_pre = wait_for_quiet_vm("pre", attempts_log)
@@ -405,7 +456,7 @@ def main():
         # leg; a leg timed after an un-quiet trail is self-evident here
         "calibration_attempts": attempts_log,
     }
-    print(json.dumps(result))
+    print(emit(result))
 
 
 if __name__ == "__main__":

@@ -50,24 +50,49 @@ class SnapshotStore:
         self.manifest_dir = os.path.join(root, "_manifests")
         os.makedirs(self.manifest_dir, exist_ok=True)
         self._pending: dict[str, dict] = {}
+        # stage() may be called from two driver threads at once (the
+        # budgeted wave overlaps the results and deferred-slice writes
+        # — engine._run_wave); guard the pending-table registry
+        import threading
+
+        self._lock = threading.Lock()
 
     # ---- write path ----
 
-    def stage(self, table: str, df: DataFrame, wave: int, manifest_wave: int | None = None) -> dict:
+    def stage(
+        self,
+        table: str,
+        df: DataFrame,
+        wave: int,
+        manifest_wave: int | None = None,
+        partition_by: str | None = None,
+    ) -> dict:
         """Write one table's wave slice; returns lineage info. Not
         visible to readers until commit_wave(). ``manifest_wave`` lets
         a slice physically labeled wave=d+1 (e.g. the next frontier)
-        be committed atomically with wave d's manifest."""
+        be committed atomically with wave d's manifest.
+
+        ``partition_by`` hive-partitions the slice on one column and
+        records, under info["by"], the files + row count per partition
+        VALUE — a reader of one value then scans only its files (no
+        full-slice filter) and gets every per-value count without a
+        Spark job (the rank-once politeness plan's per-sub-wave reads,
+        VERDICT r08 #2). The partition column is dir-encoded, so those
+        reads come back without it."""
         path = os.path.join(self.root, table, f"wave={wave}")
         with_lineage = df.withColumn("_wave", F.lit(wave)).withColumn(
             "_part", F.spark_partition_id()
         )
-        with_lineage.write.mode("overwrite").option(
+        writer = with_lineage.write.mode("overwrite").option(
             "compression", self.codec
-        ).parquet(path)
+        )
+        if partition_by:
+            writer = writer.partitionBy(partition_by)
+        writer.parquet(path)
         files = [
-            os.path.join(path, f)
-            for f in os.listdir(path)
+            os.path.join(root, f)
+            for root, _dirs, names in os.walk(path)
+            for f in names
             if f.endswith(".parquet")
         ]
         # per-partition lineage from parquet footers — no Spark job
@@ -79,8 +104,19 @@ class SnapshotStore:
         }
         rows = sum(part_counts.values())
         info = {"path": path, "files": sorted(files), "rows": rows, "partitions": part_counts}
+        if partition_by:
+            by: dict = {}
+            for f in files:
+                val = os.path.basename(os.path.dirname(f)).split("=", 1)[1]
+                ent = by.setdefault(val, {"files": [], "rows": 0})
+                ent["files"].append(f)
+                ent["rows"] += pq.ParquetFile(f).metadata.num_rows
+            for ent in by.values():
+                ent["files"].sort()
+            info["by"] = by
         mw = wave if manifest_wave is None else manifest_wave
-        self._pending.setdefault(f"wave-{mw}", {})[table] = info
+        with self._lock:
+            self._pending.setdefault(f"wave-{mw}", {})[table] = info
         return info
 
     def commit_wave(self, wave: int, metrics: dict | None = None, part: int | None = None) -> str:
@@ -90,12 +126,13 @@ class SnapshotStore:
         its last completed politeness subwave; the eventual full commit
         supersedes and removes the part manifests."""
         key = f"wave-{wave}"
-        if part is not None:
-            tables = dict(self._pending.get(key, {}))
-            name = f"{key}.part{part}.json"
-        else:
-            tables = self._pending.pop(key, {})
-            name = f"{key}.json"
+        with self._lock:
+            if part is not None:
+                tables = dict(self._pending.get(key, {}))
+                name = f"{key}.part{part}.json"
+            else:
+                tables = self._pending.pop(key, {})
+                name = f"{key}.json"
         manifest = {
             "wave": wave,
             "part": part,
@@ -124,7 +161,8 @@ class SnapshotStore:
     def restore_pending(self, wave: int, tables: dict) -> None:
         """Re-register table slices from a part manifest so the wave's
         eventual full commit includes them (resume path)."""
-        self._pending.setdefault(f"wave-{wave}", {}).update(tables)
+        with self._lock:
+            self._pending.setdefault(f"wave-{wave}", {}).update(tables)
 
     def parts(self, wave: int) -> list[dict]:
         """Mid-wave part manifests for ``wave``, ordered by part."""
