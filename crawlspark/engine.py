@@ -535,7 +535,10 @@ class SparkCrawler:
             .cast("int"),
         ).drop("_host_n", "_salt", "_rk")
 
-    def _fetch_join(self, gated_allowed: DataFrame) -> DataFrame:
+    def _fetch_join(
+        self, gated_allowed: DataFrame, all_allowed: bool = False,
+        rows_hint: int | None = None,
+    ) -> DataFrame:
         """The fetch interface: frontier rows joined against the pages
         corpus (the sandbox's network). Config ``Header`` — the extra
         request headers the reference sends on every fetch
@@ -553,15 +556,40 @@ class SparkCrawler:
         urls it emits exactly one blocked Result, not one per matching
         page row (ADVICE r02). An input WITHOUT ``_allowed`` (a
         pre-gate frontier, e.g. the request-header fetch-boundary
-        test) gets a plain inner join."""
+        test) gets a plain inner join.
+
+        ``all_allowed=True`` (politeness sub-waves >= 1, r9): blocked
+        rows all ride sub-wave 0, so a deferred slice is 100%
+        robots-allowed — and for allowed rows the LEFT join's only
+        extra output is page-miss rows the parse map silently drops
+        (fetch error). An INNER join is therefore output-identical
+        there, and unlike leftOuter it lets Spark build the hash on
+        the FRONTIER side: a left-outer join can never broadcast its
+        preserved side, so the non-bucketed corpus was shuffled+sorted
+        per sub-wave even for a ~200-row hot-host leftover slice
+        (measured 3.4 s/sub-wave at local[8], the dominant budgeted
+        Amdahl term — VERDICT r08 #2). With the inner join a small
+        slice (rows_hint <= fetch_broadcast_rows) is hint-broadcast
+        and the corpus is scanned but never exchanged; big slices
+        fall back to AQE's choice, and the bucketed corpus remains
+        the 10^10 shape either way."""
         cols = ["url_key", "fetch_url", "depth", "priority", "fetch_key", "host"]
         cond = F.col("fetch_key") == self.pages["url"]
         single_pass = "_allowed" in gated_allowed.columns
         if single_pass:
             cols.append("_allowed")
             cond = cond & F.col("_allowed")
-        joined = gated_allowed.select(*cols).join(
-            self.pages, cond, "left" if single_pass else "inner"
+        slice_side = gated_allowed.select(*cols)
+        if (
+            all_allowed
+            and rows_hint is not None
+            and rows_hint <= self.cfg.fetch_broadcast_rows
+        ):
+            slice_side = slice_side.hint("BROADCAST")
+        joined = slice_side.join(
+            self.pages,
+            cond,
+            "left" if (single_pass and not all_allowed) else "inner",
         )
         if self.cfg.Header:
             joined = joined.withColumn(
@@ -580,8 +608,9 @@ class SparkCrawler:
         gated_allowed: DataFrame,
         rows_hint: int | None = None,
         blocked_counter=None,
+        all_allowed: bool = False,
     ) -> DataFrame:
-        joined = self._fetch_join(gated_allowed)
+        joined = self._fetch_join(gated_allowed, all_allowed, rows_hint)
         # AQE coalesces the join output by BYTE size (~50 MB of html
         # looks "small" -> 1-2 partitions), which would serialize the
         # CPU-heavy parse UDF onto 1-2 cores. Parse cost scales with
@@ -999,6 +1028,12 @@ class SparkCrawler:
 
         blocked_offset = 0
         plan_info = None
+        # per-sub-wave wall clocks (and, on the iterative loop, the
+        # results-job vs pending-stage split) — landed in the wave
+        # metrics so the scaling analysis reads the sub-wave
+        # serialization term from the store instead of guessing
+        sub_t: list = []
+        sub_t_parts: list = []
         if resume_parts:
             # mid-wave resume: adopt the completed politeness subwaves
             # and continue from the checkpointed plan (or, for a store
@@ -1043,12 +1078,14 @@ class SparkCrawler:
         if use_plan:
             if plan_info is None:
                 plan_cols = frontier_cols + ["fetch_key", "host", "_allowed", "_subwave"]
+                t_plan = time.time()
                 plan_info = store.stage(
                     "budget_plan",
                     self._budget_plan(remaining, budget).select(*plan_cols),
                     d,
                     partition_by="_subwave",
                 )
+                sub_t.append(round(time.time() - t_plan, 2))  # [0] = plan stage
             by = plan_info.get("by")
             if by is not None:
                 # hive-partitioned plan (r9): each sub-wave reads ONLY
@@ -1086,14 +1123,17 @@ class SparkCrawler:
                     )
 
             for subwave in range(subwave, n_sub):
+                t_sub = time.time()
                 sl, sl_rows = _plan_slice(subwave)
                 parsed = self._fetch_and_parse(
-                    sl, rows_hint=sl_rows, blocked_counter=blocked_acc
+                    sl, rows_hint=sl_rows, blocked_counter=blocked_acc,
+                    all_allowed=subwave > 0,
                 )
                 info = store.stage(
                     f"results_sub{subwave}" if subwave else "results", parsed, d
                 )
                 parsed_slices.append(info)
+                sub_t.append(round(time.time() - t_sub, 2))
                 if subwave < n_sub - 1:
                     # mid-wave checkpoint: completed slices + the plan
                     # survive an interruption (north_star clause)
@@ -1127,14 +1167,17 @@ class SparkCrawler:
 
                     def _stage_results(take=take, sw=subwave, hint=rows_hint):
                         parsed = self._fetch_and_parse(
-                            take, rows_hint=hint, blocked_counter=blocked_acc
+                            take, rows_hint=hint, blocked_counter=blocked_acc,
+                            all_allowed=sw > 0,
                         )
                         return store.stage(
                             f"results_sub{sw}" if sw else "results", parsed, d
                         )
 
+                    t_sub = time.time()
                     if remaining is None:
                         parsed_slices.append(_stage_results())
+                        sub_t.append(round(time.time() - t_sub, 2))
                         subwave += 1
                         break
                     # OVERLAP (VERDICT r08 #2, the budgeted Amdahl term):
@@ -1160,10 +1203,13 @@ class SparkCrawler:
                         pending_info = f_pend.result()
                     except BaseException as e:  # noqa: BLE001 — must still await f_res
                         pend_err, pending_info = e, None
+                    t_pend = time.time() - t_sub
                     info = f_res.result()  # raises first: the fetch job is primary
                     if pend_err is not None:
                         raise pend_err
                     parsed_slices.append(info)
+                    sub_t.append(round(time.time() - t_sub, 2))
+                    sub_t_parts.append(round(t_pend, 2))
                     if pending_info["rows"] == 0:
                         subwave += 1
                         break
@@ -1202,6 +1248,10 @@ class SparkCrawler:
             "candidates": 0,
             "enqueued": 0,
         }
+        if len(sub_t) > 1:
+            metrics["subwave_t"] = sub_t
+        if sub_t_parts:
+            metrics["subwave_t_pend"] = sub_t_parts
         if d < cfg.MaxDepth:
             cand = self._candidates(wave_results)
             if cfg.detailed_metrics:

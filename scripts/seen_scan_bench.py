@@ -52,6 +52,10 @@ MAYBE_SIZES = [
 ]
 CHAIN_HOSTS = int(os.environ.get("CRAWLSPARK_CHAIN_HOSTS", "30000"))
 CHAIN_DEPTH = int(os.environ.get("CRAWLSPARK_CHAIN_DEPTH", "8"))
+# Part C: warm-seen ballast size (VERDICT r08 #3 — the in-engine
+# crossover run needs seen >= 10M, which no fixture-scale crawl
+# reaches by itself in this sandbox's wall-clock budget)
+WARM_KEYS = int(os.environ.get("CRAWLSPARK_WARM_KEYS", "30000000"))
 
 
 def build_spark():
@@ -264,13 +268,137 @@ def part_b(spark) -> dict:
     return out
 
 
+def _warm_store(spark) -> str:
+    """A synthetic PRIOR crawl store whose committed frontier slice is
+    WARM_KEYS url_keys — the warm_store= input for part C. The keys
+    live on disjoint hosts from the chain corpus so they are pure seen
+    ballast: present in every wave's verify join, never crawled."""
+    from pyspark.sql import functions as F
+
+    from crawlspark.store import SnapshotStore
+
+    warm_dir = os.path.join(
+        tempfile.gettempdir(), f"seenbench-warmstore-{WARM_KEYS}"
+    )
+    if not os.path.exists(os.path.join(warm_dir, "_manifests", "wave--1.json")):
+        st = SnapshotStore(spark, warm_dir)
+        keys = spark.range(WARM_KEYS).select(
+            F.format_string(
+                "https://warm-%05d.test/p/%d", F.col("id") % 100000, F.col("id")
+            ).alias("url_key")
+        )
+        t0 = time.time()
+        st.stage("frontier", keys, 0, manifest_wave=-1)
+        st.commit_wave(-1, {"phase": "seeded"})
+        print(f"  [gen] warm store ({WARM_KEYS:,} keys): {time.time()-t0:.1f}s")
+    return warm_dir
+
+
+def part_c(spark) -> dict:
+    """The in-engine crossover run (VERDICT r08 #3): the part-B chain
+    crawl warm-started from a {WARM_KEYS}-key prior store, so EVERY
+    wave's verify join faces a >=10M-row seen side — the regime where
+    part A measures anti O(seen) (SMJ shuffles+sorts the history per
+    wave) and the bucketed catalog table flat. Per-wave t_frontier is
+    the isolating metric; the one-time costs (seed-phase bloom
+    backfill over the warm set, first-use bucketed-table build) are
+    reported separately — at deployment they amortize over the crawl.
+
+    Bloom bits are sized ~9 bits/key for the warm set (1<<23 x 32
+    shards) so the probe passes only true dupes + ~1-2% fps: the
+    verify join's cost is then dominated by the SEEN side's plan
+    shape, which is exactly the term under test."""
+    from crawlspark import benchgen
+    from crawlspark.config import CrawlConfig
+    from crawlspark.engine import SparkCrawler
+
+    print(
+        f"## Part C: warm-seen chain crawl ({CHAIN_HOSTS} hosts x depth "
+        f"{CHAIN_DEPTH}, branching=1) over a {WARM_KEYS:,}-key warm seen-set"
+    )
+    web_dir = os.path.join(
+        tempfile.gettempdir(), f"seenbench-chain-{CHAIN_HOSTS}-{CHAIN_DEPTH}"
+    )
+    if not os.path.exists(os.path.join(web_dir, "_SUCCESS")):
+        benchgen.gen_pages(spark, CHAIN_HOSTS, 1, CHAIN_DEPTH, 1).write.mode(
+            "overwrite"
+        ).parquet(web_dir)
+    pages = spark.read.parquet(web_dir)
+    robots = benchgen.gen_robots(spark, CHAIN_HOSTS)
+    warm_dir = _warm_store(spark)
+    # untimed warmup (same rationale as part B)
+    wcfg = CrawlConfig(
+        From=benchgen.seed_urls(6), MaxDepth=2, RespectNofollow=False,
+        detailed_metrics=False, bloom_min_seen=0,
+    )
+    SparkCrawler(
+        spark, wcfg, benchgen.gen_pages(spark, 6, 1, 2, 1), robots,
+        workdir=tempfile.mkdtemp(prefix="seenbench-warm-"),
+    ).run()
+    out: dict = {}
+    for shape in ("bucketed", "anti"):
+        cfg = CrawlConfig(
+            From=benchgen.seed_urls(CHAIN_HOSTS),
+            MaxDepth=CHAIN_DEPTH,
+            RespectNofollow=False,
+            shuffle_partitions=max(int(CPUS), 8),
+            parse_partitions=3 * max(int(CPUS), 8),
+            detailed_metrics=False,
+            bloom_min_seen=1000,
+            bloom_bits_per_shard=1 << 23,
+            seen_join_shape="semi" if shape == "bucketed" else shape,
+            seen_layout="bucketed" if shape == "bucketed" else "slices",
+        )
+        c = SparkCrawler(
+            spark, cfg, pages, robots,
+            workdir=tempfile.mkdtemp(prefix=f"seenbench-c-{shape}-"),
+            check_payload=False,
+            warm_store=warm_dir,
+        )
+        t0 = time.time()
+        c.run()
+        total = time.time() - t0
+        waves = [
+            {
+                "wave": i,
+                "fetched": m.get("fetched"),
+                "seconds": m.get("seconds"),
+                "t_frontier": m.get("t_frontier"),
+            }
+            for i, m in enumerate(
+                m for m in c.store.metrics() if m.get("fetched") is not None
+            )
+        ]
+        fetched = sum(w["fetched"] for w in waves)
+        expect = benchgen.expected_counts(CHAIN_HOSTS, 1, CHAIN_DEPTH, 1)
+        assert fetched == expect, (fetched, expect)
+        tf = [w["t_frontier"] for w in waves if w["t_frontier"] is not None]
+        out[shape] = {
+            "total_sec": round(total, 1),
+            "t_frontier_sum": round(sum(tf), 1),
+            "waves": waves,
+        }
+        print(
+            f"shape={shape}: total {total:.1f}s, t_frontier sum {sum(tf):.1f}s"
+        )
+        print("| wave | cumulative seen | t_frontier (s) | wave total (s) |")
+        print("|---|---|---|---|")
+        for w in waves:
+            print(
+                f"| {w['wave']} | {WARM_KEYS + CHAIN_HOSTS * (w['wave'] + 1):,} "
+                f"| {w['t_frontier']} | {w['seconds']} |"
+            )
+    return out
+
+
 def main():
     parts = os.environ.get("CRAWLSPARK_SEEN_PARTS", "a,b").split(",")
     spark = build_spark()
     spark.sparkContext.setLogLevel("ERROR")
     a = part_a(spark) if "a" in parts else None
     b = part_b(spark) if "b" in parts else None
-    print(json.dumps({"part_a": a, "part_b": b}))
+    c = part_c(spark) if "c" in parts else None
+    print(json.dumps({"part_a": a, "part_b": b, "part_c": c}))
 
 
 if __name__ == "__main__":

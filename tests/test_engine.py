@@ -1414,3 +1414,46 @@ def test_unknown_enum_knobs_fail_loudly(spark, tmp_path):
         with pytest.raises(ValueError, match=f"unknown {knob}"):
             SparkCrawler(spark, cfg, pages, robots,
                          workdir=str(tmp_path / f"bad-{knob}"))
+
+
+def test_deferred_subwave_fetch_join_broadcasts_slice(spark, tmp_path):
+    """Politeness sub-waves >= 1 are all-allowed, so their fetch join
+    is INNER and hash-builds on the (broadcast) frontier-slice side —
+    a left-outer join can never broadcast its preserved side, which
+    made every deferred sub-wave shuffle+sort the whole non-bucketed
+    pages corpus even for a ~200-row hot-host leftover (the measured
+    3.4 s/sub-wave budgeted Amdahl term, r9). Pins: the deferred
+    slice's plan has a broadcast join with NO Exchange on the pages
+    scan, while sub-wave 0 keeps the blocked-row-preserving LEFT
+    join; and inner-vs-left on an all-allowed slice is output-equal
+    even with page-miss (fetch error) rows in it."""
+    from crawlspark.engine import SparkCrawler
+    from crawlspark.schema import FRONTIER_SCHEMA
+
+    pages_pdf, robots_pdf, seeds = testkit.nice_site(branching=2, max_id_len=2)
+    cfg = CrawlConfig(From=seeds, MaxDepth=1, per_host_budget=3)
+    c = SparkCrawler(
+        spark, cfg,
+        testkit.pages_to_spark(spark, pages_pdf),
+        testkit.robots_to_spark(spark, robots_pdf),
+        workdir=str(tmp_path / "bcastplan"),
+    )
+    # a deferred-slice stand-in incl. one page-miss row (fetch error)
+    rows = [(u, u, 1, 2, None) for u in
+            [f"http://site-0.test/{i}" for i in (0, 1, 10, 11)]]
+    rows.append(("http://site-0.test/nopage9999", "http://site-0.test/nopage9999", 1, 2, None))
+    pending = spark.createDataFrame(rows, FRONTIER_SCHEMA)
+    from pyspark.sql import functions as F
+    regated = c._gate(pending).withColumn("_allowed", F.lit(True))
+
+    inner = c._fetch_and_parse(regated, rows_hint=5, all_allowed=True)
+    plan = inner._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan
+    # the pages side streams from its scan with no exchange above it
+    assert "Exchange hashpartitioning(url#" not in plan, plan
+
+    left = c._fetch_and_parse(regated, rows_hint=5, all_allowed=False)
+    key = lambda r: (r["UrlKey"], r["StatusCode"])  # noqa: E731
+    assert sorted(map(key, inner.collect())) == sorted(map(key, left.collect()))
+    # 4 real pages parsed; the page-miss row dropped by both shapes
+    assert inner.count() == 4

@@ -1418,3 +1418,54 @@ def test_literal_fast_path_chunks_and_window(monkeypatch):
     pblob = encode_webp(pimg, palette=True)
     assert np.array_equal(decode_webp(pblob), pimg)
     assert any(c[0] > 0 for c in calls), "no mid-stream sub-image decoded"
+
+
+# ---------------------------------------------------------------- auto profile
+
+
+def test_auto_profile_picks_by_family():
+    """profile="auto" (VERDICT r08 #4) routes each fixture family to
+    the profile that dominates it in the sweep: noise -> literal,
+    low-color art -> palette, banded/run-heavy -> lz77 — and every
+    auto-encoded stream still roundtrips exactly."""
+    rng = np.random.default_rng(11)
+    noise = rng.integers(0, 256, (48, 64, 3), dtype=np.uint8)
+    pal = rng.integers(0, 256, (12, 3), dtype=np.uint8)
+    art = pal[rng.integers(0, 12, (48, 64))]
+    banded = np.repeat(
+        rng.integers(0, 256, (6, 1, 3), dtype=np.uint8), 8, axis=0
+    ).repeat(64, axis=1)
+    assert W._auto_profile(noise) == "literal"
+    assert W._auto_profile(art) == "palette"
+    assert W._auto_profile(banded) == "lz77"
+    for img in (noise, art, banded):
+        out = decode_webp(encode_webp(img, profile="auto"))
+        np.testing.assert_array_equal(out[:, :, :3], img)
+
+
+def test_auto_profile_matches_explicit_flag_bytes():
+    """auto is pure routing: the bytes it emits are identical to the
+    explicit-flag encoder for the profile it picked, so the pinned
+    fixture streams remain reachable and stable."""
+    rng = np.random.default_rng(12)
+    noise = rng.integers(0, 256, (16, 24, 3), dtype=np.uint8)
+    assert encode_webp(noise, profile="auto") == encode_webp(noise)
+    pal = rng.integers(0, 256, (5, 3), dtype=np.uint8)
+    art = pal[rng.integers(0, 5, (16, 24))]
+    assert encode_webp(art, profile="auto") == encode_webp(art, palette=True)
+    banded = np.repeat(rng.integers(0, 256, (1, 24, 3), dtype=np.uint8), 16, axis=0)
+    assert encode_webp(banded, profile="auto") == encode_webp(banded, lz77=True)
+
+
+def test_profile_param_rejects_flag_combos():
+    img = np.zeros((4, 4, 3), dtype=np.uint8)
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        encode_webp(img, profile="auto", palette=True)
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        encode_webp(img, profile="literal", lz77=True)
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        encode_webp(img, profile="auto", subtract_green=True)
+    with pytest.raises(ValueError, match="unknown profile"):
+        encode_webp(img, profile="fast")
+    # named profiles dispatch to the same bytes as the flags
+    assert encode_webp(img, profile="palette") == encode_webp(img, palette=True)
