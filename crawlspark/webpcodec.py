@@ -473,12 +473,15 @@ def _auto_profile(arr: np.ndarray) -> str:
       screens before the exact O(n log n) unique pass so high-color
       photos never pay it.
 
-    Thresholds from the fixture sweep: runs >=0.85 -> lz77 even when
-    a palette exists (row/column banding compresses better as
-    references than as bundled indices); else any palette wins
-    (bundled indices ride the vectorized literal path at 1/2-1/8
-    width); else runs >=0.4 -> lz77 still pays (tokens shrink the
-    stream even between literals); else literal."""
+    Thresholds from the sweep (scripts/webp_profile_sweep.py): runs
+    >=0.85 -> lz77 even when a palette exists (measured on banded
+    images: lz77 110-244 B vs palette 1,066-16,612 B — references
+    beat bundled indices at EVERY palette size >= 2; the single
+    exception is a 1-color image, where the palette stream's
+    zero-bit indices win 38 vs 82 B); else any palette wins (bundled
+    indices ride the vectorized literal path at 1/2-1/8 width); else
+    runs >=0.4 -> lz77 still pays (tokens shrink the stream even
+    between literals); else literal."""
     h, w, _ = arr.shape
     left = float(np.mean(np.all(arr[:, 1:] == arr[:, :-1], axis=2))) if w > 1 else 0.0
     up = float(np.mean(np.all(arr[1:] == arr[:-1], axis=2))) if h > 1 else 0.0
@@ -500,7 +503,7 @@ def _auto_profile(arr: np.ndarray) -> str:
         n = np.unique(packed).shape[0]
         n_colors = int(n) if n <= 256 else None
     if run >= 0.85:
-        return "lz77"
+        return "palette" if n_colors == 1 else "lz77"
     if n_colors is not None:
         return "palette"
     if run >= 0.4:
