@@ -283,13 +283,26 @@ _FRAME_SCHEMA = T.StructType(
 
 
 def frame_sample_rows(video_id: str, data: bytes, every_n: int) -> list[dict]:
-    """Pure row function: sampled frames of one QVID container,
+    """Pure row function: sampled frames of one video container,
     re-encoded as PNG. Shared by the Spark operator, the committed
-    ground-truth fixture (scripts/make_fixtures.py) and the tests."""
-    from .. import imagecodec, videocodec
+    ground-truth fixture (scripts/make_fixtures.py) and the tests.
 
+    Container is sniffed from the magic: QVID (videocodec.py —
+    length-prefixed lossy frames, skipped frames byte-seeked past) or
+    animated WebP (webpanim.py — delta-rect lossless frames, every
+    frame up to the last sampled index composited, nothing decoded
+    past it). The two containers ARE the tradeoff pair a 100 TB
+    corpus carries: seekable-lossy vs delta-compressed-lossless."""
+    from .. import imagecodec, videocodec, webpanim
+
+    if data[: len(videocodec.MAGIC)] == videocodec.MAGIC:
+        it = videocodec.iter_frames(data, every_n)
+    elif data[:4] == b"RIFF" and data[8:12] == b"WEBP":
+        it = webpanim.iter_frames_webp(data, every_n)
+    else:
+        raise ValueError(f"unknown video container for {video_id!r}")
     out = []
-    for idx, arr in videocodec.iter_frames(data, every_n):
+    for idx, arr in it:
         h, w, _ = arr.shape
         out.append(
             {
@@ -304,11 +317,13 @@ def frame_sample_rows(video_id: str, data: bytes, every_n: int) -> list[dict]:
 
 
 def frame_sample(videos: DataFrame, every_n: int = 10) -> DataFrame:
-    """Video frame sampling over the QVID container
+    """Video frame sampling, container-sniffed per row: QVID
     (crawlspark/videocodec.py — the own-codec pattern that replaced
-    the r03 stub, VERDICT r03 #8): every_n-th frame decoded and
-    re-encoded as PNG; skipped frames are byte-seeked past, never
-    inflated, so cost scales with frames KEPT. Arrow mapInPandas over
+    the r03 stub, VERDICT r03 #8; skipped frames byte-seeked past,
+    cost scales with frames KEPT) or animated WebP
+    (crawlspark/webpanim.py, r9 — lossless delta-rect frames
+    composited up to the last sampled index). every_n-th frame
+    decoded and re-encoded as PNG. Arrow mapInPandas over
     (video_id, bytes) rows — the same multi-executor shape as the
     image decode path; a real-codec swap only replaces the row
     function's decode call."""

@@ -232,19 +232,27 @@ def make_images(
 
 def make_videos(n: int = 8, n_frames: int = 12, w: int = 16, h: int = 16) -> pd.DataFrame:
     """Deterministic synthetic video corpus (video_id, bytes,
-    n_frames, w, h, caption) — QVID containers of seed-keyed synth
-    frames (crawlspark/videocodec.py). BASELINE input rule: no
-    external data; synthesize at small scale for tests/fixtures."""
-    from . import videocodec
+    n_frames, w, h, caption) — seed-keyed synth frames in BOTH
+    container formats the sampler sniffs (r9): odd ids as QVID
+    (crawlspark/videocodec.py, seekable lossy frames), even ids as
+    animated WebP (crawlspark/webpanim.py, delta-rect lossless
+    frames). BASELINE input rule: no external data; synthesize at
+    small scale for tests/fixtures."""
+    from . import videocodec, webpanim
 
     rows = []
     for i in range(1, n + 1):
         video_id = f"vid-{i:04d}"
         frames = videocodec.synth_video(video_id, n_frames, w, h)
+        blob = (
+            webpanim.encode_webp_anim(frames, durations=100)
+            if i % 2 == 0
+            else videocodec.encode_qvid(frames)
+        )
         rows.append(
             {
                 "video_id": video_id,
-                "bytes": videocodec.encode_qvid(frames),
+                "bytes": blob,
                 "n_frames": n_frames,
                 "w": w,
                 "h": h,

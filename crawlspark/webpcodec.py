@@ -1133,7 +1133,10 @@ def _decode_vp8x(data: bytes) -> np.ndarray:
         raise ValueError("webp: bad VP8X chunk length")
     flags = data[20]
     if flags & 0x02:
-        raise NotImplementedError("webp: animated (ANIM) webp unsupported")
+        raise NotImplementedError(
+            "webp: animated (ANIM) webp is not a still image — use "
+            "webpanim.decode_webp_anim"
+        )
     canvas_w = int.from_bytes(data[24:27], "little") + 1
     canvas_h = int.from_bytes(data[27:30], "little") + 1
     off = 30  # VP8X payload is 10 bytes (even: no pad)
