@@ -23,7 +23,8 @@ from pyspark.sql import types as T
 from ..shipping import ensure_shipped_df
 
 __all__ = ["decode_stats", "image_features", "phash_neardup",
-           "image_dedup_materialize", "caption_stats", "frame_sample"]
+           "image_dedup_materialize", "caption_stats", "frame_sample",
+           "transcode_videos"]
 
 _STATS_SCHEMA = T.StructType(
     [
@@ -341,6 +342,82 @@ def frame_sample(videos: DataFrame, every_n: int = 10) -> DataFrame:
     return videos.select("video_id", "bytes").mapInPandas(
         fn, _FRAME_SCHEMA
     ).orderBy("video_id", "frame_idx")
+
+
+_TRANSCODE_SCHEMA = T.StructType(
+    [
+        T.StructField("video_id", T.StringType()),
+        T.StructField("bytes", T.BinaryType()),
+        T.StructField("n_frames", T.IntegerType()),
+        T.StructField("w", T.IntegerType()),
+        T.StructField("h", T.IntegerType()),
+        T.StructField("in_bytes", T.LongType()),
+        T.StructField("out_bytes", T.LongType()),
+    ]
+)
+
+
+def transcode_row(video_id: str, data: bytes) -> dict:
+    """Pure row function: one video container -> the animated-WebP
+    delta archive (crawlspark/webpanim.py). Lossless with respect to
+    DECODED frames — decode(transcode(v)) == decode(v) bit-exactly
+    for both input containers (the invariant the tests pin), so a
+    sampler downstream of the transcode sees identical frames. QVID
+    inputs get the default 100 ms frame duration (QVID carries
+    none); animated-webp inputs keep their durations and loop count
+    (re-delta-ing is how an archive pass re-compresses a full-frame
+    or foreign-muxed animation)."""
+    from .. import videocodec, webpanim
+
+    if data[: len(videocodec.MAGIC)] == videocodec.MAGIC:
+        frames = videocodec.decode_qvid(data)
+        blob = webpanim.encode_webp_anim(frames, durations=100)
+        n, (h, w) = len(frames), frames[0].shape[:2]
+    elif data[:4] == b"RIFF" and data[8:12] == b"WEBP":
+        arr, durs, loop = webpanim.decode_webp_anim(data)
+        blob = webpanim.encode_webp_anim(list(arr), durations=durs, loop_count=loop)
+        n, h, w = arr.shape[:3]
+    else:
+        raise ValueError(f"unknown video container for {video_id!r}")
+    return {
+        "video_id": video_id,
+        "bytes": blob,
+        "n_frames": int(n),
+        "w": int(w),
+        "h": int(h),
+        "in_bytes": len(data),
+        "out_bytes": len(blob),
+    }
+
+
+def transcode_videos(videos: DataFrame) -> DataFrame:
+    """Archive transcode for the video corpus (r9): every container
+    re-muxed as delta-rect lossless animated WebP — the inter-frame
+    storage lever (17x vs full-frame storage on the moving-patch
+    family, BENCH.md r9 codec table). At 100 TB this is the
+    write-once archival pass; QVID stays the hot seekable-sampling
+    format. Same mapInPandas shape as frame_sample (opaque binary in,
+    opaque binary out, sizes as columns so the compression ratio is
+    one agg away); composed driver-visibly as
+    frame_sample(transcode_videos(videos)) in the video_frame_sample
+    CORRECTNESS row — sampling a transcode is frame-bit-identical to
+    sampling the source, so the committed ground truth gates BOTH
+    operators."""
+    ensure_shipped_df(videos)
+
+    def fn(batches):
+        for pdf in batches:
+            rows = [
+                transcode_row(r.video_id, bytes(r.bytes))
+                for r in pdf.itertuples(index=False)
+            ]
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in _TRANSCODE_SCHEMA.fields]
+            )
+
+    return videos.select("video_id", "bytes").mapInPandas(
+        fn, _TRANSCODE_SCHEMA
+    ).orderBy("video_id")
 
 
 def image_dedup_materialize(

@@ -92,6 +92,8 @@ def encode_webp_anim(
     frames = [np.asarray(f) for f in frames]
     if not frames:
         raise ValueError("webp-anim: needs at least one frame")
+    if frames[0].ndim != 3:
+        raise ValueError("webp-anim: all frames must be one (h, w, 3) uint8 shape")
     h, w = frames[0].shape[:2]
     for f in frames:
         if f.ndim != 3 or f.shape != (h, w, 3) or f.dtype != np.uint8:

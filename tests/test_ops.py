@@ -182,6 +182,66 @@ def test_qvid_roundtrip_and_frame_sample(spark):
         assert got[(e["video_id"], e["frame_idx"])] == e["frame_png"]
 
 
+def test_transcode_videos_archive_invariants(spark):
+    """transcode_videos (r9): every container re-muxed as delta-rect
+    lossless animated WebP. Pins (1) the lossless-w.r.t.-decoded-
+    frames invariant for BOTH input containers, (2) distributed ==
+    pure row function, (3) frame-sampling a transcode == sampling the
+    source (the composition the video_frame_sample CORRECTNESS row
+    rides), (4) the size accounting columns, and (5) real compression
+    on a static-background sequence."""
+    import numpy as np
+
+    from crawlspark import testkit, videocodec, webpanim
+    from crawlspark.ops import multimodal
+
+    videos = testkit.make_videos(4, n_frames=6, w=8, h=8)  # mixed containers
+    out = multimodal.transcode_videos(spark.createDataFrame(videos)).collect()
+    assert [r["video_id"] for r in out] == sorted(videos["video_id"])
+    by_id = {r["video_id"]: r for r in out}
+    for src in videos.itertuples(index=False):
+        r = by_id[src.video_id]
+        # distributed == pure
+        pure = multimodal.transcode_row(src.video_id, bytes(src.bytes))
+        assert bytes(r["bytes"]) == pure["bytes"]
+        assert (r["n_frames"], r["w"], r["h"]) == (6, 8, 8)
+        assert r["in_bytes"] == len(bytes(src.bytes))
+        assert r["out_bytes"] == len(bytes(r["bytes"]))
+        # lossless w.r.t. decoded frames, both containers
+        data = bytes(src.bytes)
+        if data[: len(videocodec.MAGIC)] == videocodec.MAGIC:
+            src_frames = np.stack(videocodec.decode_qvid(data))
+        else:
+            src_frames = webpanim.decode_webp_anim(data)[0]
+        got_frames = webpanim.decode_webp_anim(bytes(r["bytes"]))[0]
+        np.testing.assert_array_equal(got_frames, src_frames)
+
+    # sampling composition: frame_sample(transcode(v)) == frame_sample(v)
+    df = spark.createDataFrame(videos)
+    direct = multimodal.frame_sample(df, every_n=2).collect()
+    via = multimodal.frame_sample(
+        multimodal.transcode_videos(df), every_n=2
+    ).collect()
+    key = lambda r: (r["video_id"], r["frame_idx"])  # noqa: E731
+    assert sorted(map(key, direct)) == sorted(map(key, via))
+    dmap = {key(r): bytes(r["frame_png"]) for r in direct}
+    assert all(dmap[key(r)] == bytes(r["frame_png"]) for r in via)
+
+    # the archive lever: static-background sequence compresses vs raw
+    base = np.zeros((32, 32, 3), np.uint8)
+    frames = []
+    for k in range(12):
+        f = base.copy()
+        f[4 + k : 8 + k, 2 + k : 6 + k] = (k * 30 % 256, 90, 200)
+        frames.append(f)
+    pure = multimodal.transcode_row("vid-s", videocodec.encode_qvid(frames))
+    raw = 12 * 32 * 32 * 3
+    assert pure["out_bytes"] < raw / 4, (pure["out_bytes"], raw)
+    got = webpanim.decode_webp_anim(pure["bytes"])[0]
+    np.testing.assert_array_equal(got, np.stack(videocodec.decode_qvid(
+        videocodec.encode_qvid(frames))))
+
+
 def test_ngram_stop_gram_pruning(spark):
     """max_df stop-gram pruning (VERDICT r03 #5): on a block where one
     gram is shared by EVERY doc (the quadratic hazard), the pruned
