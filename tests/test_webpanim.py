@@ -278,3 +278,40 @@ def test_still_decoder_points_to_anim():
     blob = WA.encode_webp_anim(_frames(n=2))
     with pytest.raises(NotImplementedError, match="decode_webp_anim"):
         decode_webp(blob)
+
+
+def test_anim_decoder_fuzz_raises_cleanly():
+    """decode_webp_anim / webp_anim_meta on arbitrary garbage and on
+    bit-flipped valid files must raise ValueError/NotImplementedError
+    — never IndexError, KeyError, struct.error, or a silent wrong
+    shape (the same clean-failure contract as decode_webp,
+    test_webpcodec.test_decoder_fuzz_raises_cleanly)."""
+    rng = np.random.default_rng(4321)
+    ok_kinds = (ValueError, NotImplementedError)
+    for _ in range(200):
+        n = int(rng.integers(0, 200))
+        blob = rng.integers(0, 256, n, dtype=np.uint8).tobytes()
+        try:
+            WA.decode_webp_anim(blob)
+        except ok_kinds:
+            pass
+    good = WA.encode_webp_anim(_static_frames(n=4, h=9, w=13))
+    nf, ch, cw = 4, 9, 13
+    for _ in range(300):
+        b = bytearray(good)
+        for _ in range(int(rng.integers(1, 4))):
+            b[int(rng.integers(0, len(b)))] ^= 1 << int(rng.integers(0, 8))
+        try:
+            out, durs, _loop = WA.decode_webp_anim(bytes(b))
+            # a surviving decode may show different pixels (payload
+            # bits flipped = a different image) but never a broken
+            # shape/dtype
+            assert out.dtype == np.uint8 and out.ndim == 4 and out.shape[3] == 3
+            assert len(durs) == out.shape[0]
+        except ok_kinds:
+            pass
+        try:
+            meta = WA.webp_anim_meta(bytes(b))
+            assert meta["n_frames"] >= 1
+        except ok_kinds:
+            pass
