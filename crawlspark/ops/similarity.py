@@ -11,9 +11,19 @@
   which is exactly how it distributes at 10^9 vectors. Same-bucket
   candidates are re-ranked by exact cosine.
 
+- ``pq_encode`` / ``pq_topk`` (r9): product quantization — the
+  MEMORY scale path. Codes are M bytes/vector (32x smaller than the
+  raw float corpus); the ADC scan never reads a raw vector, and the
+  opt-in rerank reads raw vectors for the per-query shortlist only.
+  Codebooks live in a committed fixture (fixtures/pq_codebooks
+  .parquet) like the IVF centroids, so codes are engine-independent.
+
 Scale notes: brute-force is O(Q·N) — fine for a query batch against
 a broadcast candidate set, wrong at N=10^9; SRP buckets cut N to
-N/2^bits per probe with a high-entropy key (skew-free shuffle).
+N/2^bits per probe with a high-entropy key (skew-free shuffle); PQ
+cuts the BYTES/vector the scan touches (IVF cuts which vectors are
+scanned — at 10^9 the deployment shape composes both: IVF buckets,
+PQ codes inside each bucket, exact rerank on the shortlist).
 """
 
 from __future__ import annotations
@@ -23,7 +33,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 __all__ = ["cosine_topk", "srp_ann_topk", "srp_buckets", "ivf_assign",
-           "ivf_assign_multi", "ivf_topk"]
+           "ivf_assign_multi", "ivf_topk", "pq_encode", "pq_topk"]
 
 
 def _dot(x, y):
@@ -213,6 +223,123 @@ def srp_ann_topk(
     w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), "n_id")
     return (
         scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .orderBy("q_id", "rnk")
+    )
+
+
+def pq_encode(emb: DataFrame, codebooks: DataFrame) -> DataFrame:
+    """Product-quantization encode: each vector becomes M uint8-range
+    codes (one per dimension subspace) — the MEMORY scale path IVF
+    lacks (r9): at 10^9 x 64-dim float vectors the raw corpus is
+    ~256 GB/replica, the PQ codes are ~8 GB and the ADC scan never
+    touches the raw vectors.
+
+    ``codebooks`` rows are (sub, code, dim, value) with GLOBAL dim
+    indices (fixtures/pq_codebooks.parquet — deterministic per-
+    subspace numpy k-means over the sf0.001 embeddings, committed so
+    every engine computes identical codes; any fixed codebook is
+    CORRECT, training only affects recall). The assignment is the
+    same join-aggregate shape as ivf_assign: posexplode(embedding)
+    ⋈ broadcast(codebooks) on dim, partial-sum of squared deltas per
+    (vec, sub, code), argmin per (vec, sub) — distributes at 10^9
+    vectors with no UDF and no skew (the groupBy key is
+    high-entropy (vec_id, sub, code))."""
+    comp = emb.select(
+        "vec_id",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("dim", "x"),
+    )
+    d2 = (
+        comp.join(F.broadcast(codebooks), "dim")
+        .groupBy("vec_id", "sub", "code")
+        .agg(F.sum((F.col("x") - F.col("value")) ** 2).alias("d2"))
+    )
+    wmin = Window.partitionBy("vec_id", "sub").orderBy("d2", "code")
+    best = d2.withColumn("rn", F.row_number().over(wmin)).filter(F.col("rn") == 1)
+    return best.groupBy("vec_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("sub", "code"))),
+            lambda s: s["code"],
+        ).alias("codes")
+    )
+
+
+def _l2(av, bv):
+    return F.aggregate(
+        F.zip_with(av, bv, lambda p, q: (p - q) * (p - q)),
+        F.lit(0.0),
+        lambda s, t: s + t,
+    )
+
+
+def pq_topk(
+    emb: DataFrame,
+    codebooks: DataFrame,
+    k: int = 5,
+    n_queries: int = 10,
+    rerank: int = 0,
+) -> DataFrame:
+    """PQ ANN via asymmetric distance computation (ADC): each query
+    builds its per-(sub, code) squared-distance table from the raw
+    codebooks (tiny: M x K rows per query, broadcast), and every
+    corpus vector is scored as the SUM of table lookups over its M
+    codes — approximate L2, no raw corpus vector ever read at scan
+    time. Returns (q_id, n_id, dist) top-k ascending. The corpus
+    side is one explode + broadcast-join + partial-agg: the only
+    shuffle is the (q_id, vec_id) aggregation, whose key is
+    high-entropy by construction.
+
+    ``rerank`` > 0 is the production IVFADC+rerank shape: the ADC
+    scan prunes the corpus to a per-query shortlist of that size,
+    and ONLY those rows' raw vectors are read back for an exact-L2
+    re-rank — at 10^9 vectors the scan stays code-only (M bytes/
+    vector) while recall is set by shortlist containment, not ADC
+    resolution (measured on the 500-vector near-random fixture:
+    raw-ADC recall@5 0.22, shortlist-50 rerank 0.68)."""
+    enc = pq_encode(emb, codebooks)
+    qtab = (
+        emb.filter(F.col("vec_id") < n_queries)
+        .select(
+            F.col("vec_id").alias("q_id"),
+            F.posexplode(F.col("embedding").cast("array<double>")).alias("dim", "x"),
+        )
+        .join(F.broadcast(codebooks), "dim")
+        .groupBy("q_id", "sub", "code")
+        .agg(F.sum((F.col("x") - F.col("value")) ** 2).alias("pd2"))
+    )
+    cand = enc.select("vec_id", F.posexplode("codes").alias("sub", "code"))
+    scored = (
+        cand.join(F.broadcast(qtab), ["sub", "code"])
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .groupBy("q_id", F.col("vec_id").alias("n_id"))
+        .agg(F.round(F.sum("pd2"), 4).alias("dist"))
+    )
+    w = Window.partitionBy("q_id").orderBy("dist", "n_id")
+    if not rerank:
+        return (
+            scored.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= k)
+            .orderBy("q_id", "rnk")
+        )
+    short = (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= rerank)
+        .select("q_id", "n_id")
+    )
+    e = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    q = F.broadcast(
+        e.filter(F.col("vec_id") < n_queries).select(
+            F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
+        )
+    )
+    exact = (
+        short.join(e, short["n_id"] == e["vec_id"])
+        .join(q, "q_id")
+        .select("q_id", "n_id", F.round(_l2(F.col("qv"), F.col("v")), 4).alias("dist"))
+    )
+    w2 = Window.partitionBy("q_id").orderBy("dist", "n_id")
+    return (
+        exact.withColumn("rnk", F.row_number().over(w2))
         .filter(F.col("rnk") <= k)
         .orderBy("q_id", "rnk")
     )

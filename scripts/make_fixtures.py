@@ -223,6 +223,47 @@ def main():
     pq.write_table(planes, os.path.join(out_dir, "planes.parquet"), compression="snappy")
     print(f"planes.parquet: {planes.num_rows} rows")
 
+    # product-quantization codebooks for ops/similarity.pq_encode /
+    # pq_topk (r9) — deterministic per-subspace numpy k-means (L2,
+    # seed 7) over the sf0.001 embeddings: 8 subspaces x 8 dims x 16
+    # codes. Committed so every engine computes identical codes; any
+    # fixed codebook is CORRECT (training only affects recall), so
+    # one codebook serves every sf. Rows carry the GLOBAL dim index.
+    if os.path.exists(emb_path):
+        m_sub, k_codes = 8, 16
+        d_sub = vecs.shape[1] // m_sub
+        rng_p = np.random.RandomState(7)
+        pq_rows = []
+        for m in range(m_sub):
+            sub = vecs[:, m * d_sub : (m + 1) * d_sub]
+            centers = sub[rng_p.choice(len(sub), k_codes, replace=False)].copy()
+            for _ in range(15):
+                d2 = ((sub[:, None, :] - centers[None]) ** 2).sum(axis=2)
+                assign = d2.argmin(axis=1)
+                for c in range(k_codes):
+                    members = sub[assign == c]
+                    if len(members):
+                        centers[c] = members.mean(axis=0)
+            for c in range(k_codes):
+                for j in range(d_sub):
+                    pq_rows.append(
+                        {"sub": m, "code": c, "dim": m * d_sub + j,
+                         "value": round(float(centers[c, j]), 6)}
+                    )
+        pq_t = pa.Table.from_pylist(
+            pq_rows,
+            schema=pa.schema(
+                [("sub", pa.int32()), ("code", pa.int32()),
+                 ("dim", pa.int32()), ("value", pa.float64())]
+            ),
+        )
+        pq.write_table(pq_t, os.path.join(out_dir, "pq_codebooks.parquet"),
+                       compression="snappy")
+        print(f"pq_codebooks.parquet: {pq_t.num_rows} rows "
+              f"({m_sub} subs x {k_codes} codes x {d_sub} dims)")
+    else:
+        print("skip pq_codebooks (no testdata embeddings present)")
+
 
 if __name__ == "__main__":
     main()

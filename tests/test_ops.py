@@ -394,6 +394,82 @@ def test_ivf_topk_recall_beats_random_probing(spark):
     assert len(approx & exact) / len(exact) >= 0.35
 
 
+def test_pq_encode_matches_numpy_recompute(spark):
+    """pq_encode's join-aggregate assignment (posexplode ⋈ broadcast
+    codebooks -> partial-sum -> argmin) must equal a direct numpy
+    per-subspace argmin on every one of the 500 fixture vectors —
+    the committed codebook makes the codes engine-independent."""
+    import numpy as np
+    import pyarrow.parquet as papq
+
+    from crawlspark.ops import similarity
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cb = spark.read.parquet("/root/repo/fixtures/pq_codebooks.parquet")
+    enc = {r["vec_id"]: list(r["codes"])
+           for r in similarity.pq_encode(emb, cb).collect()}
+
+    t = papq.read_table("/root/testdata/sf0.001/embeddings.parquet")
+    vecs = np.array([list(v) for v in t.column("embedding").to_pylist()],
+                    dtype=np.float64)
+    ids = t.column("vec_id").to_pylist()
+    cbt = papq.read_table("/root/repo/fixtures/pq_codebooks.parquet").to_pandas()
+    m_sub = int(cbt["sub"].max()) + 1
+    k_codes = int(cbt["code"].max()) + 1
+    d_sub = vecs.shape[1] // m_sub
+    books = np.zeros((m_sub, k_codes, d_sub))
+    for r in cbt.itertuples():
+        books[r.sub, r.code, r.dim - r.sub * d_sub] = r.value
+    assert len(enc) == len(ids) == 500
+    for i, v in zip(ids, vecs):
+        want = [
+            int(((books[m] - v[m * d_sub : (m + 1) * d_sub]) ** 2).sum(1).argmin())
+            for m in range(m_sub)
+        ]
+        assert enc[int(i)] == want, (i, enc[int(i)], want)
+
+
+def test_pq_topk_rerank_recall_and_plan(spark):
+    """The IVFADC+rerank shape: the code-only ADC scan prunes to a
+    50-row shortlist (10% of this corpus), exact L2 re-ranks only
+    those rows. Pins (1) rerank recall@5 >= 0.5 vs exact L2 on the
+    near-random fixture (measured 0.68 — this data is the HARD case,
+    quantization error ~ the distance gaps), (2) rerank strictly
+    beats raw ADC ranking (measured 0.22), (3) no cartesian product
+    anywhere and the corpus joins broadcast the tiny side."""
+    import numpy as np
+    import pyarrow.parquet as papq
+
+    from crawlspark.ops import similarity
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cb = spark.read.parquet("/root/repo/fixtures/pq_codebooks.parquet")
+    rr = similarity.pq_topk(emb, cb, k=5, n_queries=10, rerank=50)
+    plan = rr._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    got = rr.collect()
+    assert len(got) == 50
+    approx = {(r.q_id, r.n_id) for r in got}
+    raw = {(r.q_id, r.n_id)
+           for r in similarity.pq_topk(emb, cb, k=5, n_queries=10).collect()}
+
+    t = papq.read_table("/root/testdata/sf0.001/embeddings.parquet")
+    vecs = np.array([list(v) for v in t.column("embedding").to_pylist()],
+                    dtype=np.float64)
+    ids = [int(i) for i in t.column("vec_id").to_pylist()]
+    idx = {i: j for j, i in enumerate(ids)}
+    exact = set()
+    for q in range(10):
+        d = ((vecs - vecs[idx[q]]) ** 2).sum(1)
+        d[idx[q]] = np.inf
+        exact |= {(q, ids[p]) for p in np.argsort(d)[:5]}
+    r_rr = len(approx & exact) / len(exact)
+    r_raw = len(raw & exact) / len(exact)
+    assert r_rr >= 0.5, r_rr
+    assert r_rr > r_raw, (r_rr, r_raw)
+
+
 def test_graph_depths_deep_chain(spark):
     """r05 regression guard (same latent bug as cc_labels): a BFS
     walk deeper than a few rounds must not stack an unbounded logical
