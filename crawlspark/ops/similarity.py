@@ -33,7 +33,8 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 __all__ = ["cosine_topk", "srp_ann_topk", "srp_buckets", "ivf_assign",
-           "ivf_assign_multi", "ivf_topk", "pq_encode", "pq_topk"]
+           "ivf_assign_multi", "ivf_topk", "pq_encode", "pq_topk",
+           "ivfpq_topk"]
 
 
 def _dot(x, y):
@@ -321,6 +322,79 @@ def pq_topk(
             .filter(F.col("rnk") <= k)
             .orderBy("q_id", "rnk")
         )
+    short = (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= rerank)
+        .select("q_id", "n_id")
+    )
+    e = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    q = F.broadcast(
+        e.filter(F.col("vec_id") < n_queries).select(
+            F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
+        )
+    )
+    exact = (
+        short.join(e, short["n_id"] == e["vec_id"])
+        .join(q, "q_id")
+        .select("q_id", "n_id", F.round(_l2(F.col("qv"), F.col("v")), 4).alias("dist"))
+    )
+    w2 = Window.partitionBy("q_id").orderBy("dist", "n_id")
+    return (
+        exact.withColumn("rnk", F.row_number().over(w2))
+        .filter(F.col("rnk") <= k)
+        .orderBy("q_id", "rnk")
+    )
+
+
+def ivfpq_topk(
+    emb: DataFrame,
+    centroids: DataFrame,
+    codebooks: DataFrame,
+    k: int = 5,
+    n_queries: int = 10,
+    n_probe: int = 2,
+    rerank: int = 50,
+) -> DataFrame:
+    """The composed 10^9-vector deployment shape (IVFADC): IVF
+    buckets prune WHICH vectors are scanned (~n_probe/k_centroids of
+    the corpus), PQ codes prune the BYTES each scanned vector costs
+    (M bytes, no raw read), and the exact-L2 rerank touches raw
+    vectors only for the per-query shortlist. Every stage reuses the
+    audited pieces: ivf_assign buckets, pq_encode codes, the ADC
+    broadcast-join scan, the pq_topk rerank. Joins broadcast the
+    tiny side (probes, ADC tables, query vectors); the only corpus
+    shuffles are the assignment/encode aggregations and the final
+    (q_id, n_id) partial-agg — all high-entropy keys."""
+    buckets = ivf_assign(emb, centroids)
+    enc = pq_encode(emb, codebooks)
+    cand = enc.join(buckets, "vec_id").select(
+        "vec_id", "bucket", F.posexplode("codes").alias("sub", "code")
+    )
+    qscores = _centroid_scores(emb.filter(F.col("vec_id") < n_queries), centroids)
+    wq = Window.partitionBy("vec_id").orderBy(F.desc("c_cos"), "centroid_id")
+    probes = (
+        qscores.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= n_probe)
+        .select(F.col("vec_id").alias("q_id"), F.col("centroid_id").alias("bucket"))
+    )
+    qtab = (
+        emb.filter(F.col("vec_id") < n_queries)
+        .select(
+            F.col("vec_id").alias("q_id"),
+            F.posexplode(F.col("embedding").cast("array<double>")).alias("dim", "x"),
+        )
+        .join(F.broadcast(codebooks), "dim")
+        .groupBy("q_id", "sub", "code")
+        .agg(F.sum((F.col("x") - F.col("value")) ** 2).alias("pd2"))
+    )
+    scored = (
+        cand.join(F.broadcast(probes), "bucket")
+        .join(F.broadcast(qtab), ["q_id", "sub", "code"])
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .groupBy("q_id", F.col("vec_id").alias("n_id"))
+        .agg(F.round(F.sum("pd2"), 4).alias("dist"))
+    )
+    w = Window.partitionBy("q_id").orderBy("dist", "n_id")
     short = (
         scored.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= rerank)

@@ -470,6 +470,43 @@ def test_pq_topk_rerank_recall_and_plan(spark):
     assert r_rr > r_raw, (r_rr, r_raw)
 
 
+def test_ivfpq_topk_composed_deployment_shape(spark):
+    """IVFADC (ivfpq_topk): IVF prunes WHICH vectors are scanned, PQ
+    prunes the BYTES per scanned vector, exact L2 reranks the
+    shortlist. Recall must sit at the IVF probe-containment ceiling
+    (measured 0.48 vs the ivf_topk fixture ceiling ~0.50 — the PQ
+    stage inside probed buckets loses almost nothing once the
+    shortlist reranks), well above the 2/8 random-bucket baseline;
+    plan pinned cartesian-free with broadcast tiny sides."""
+    import numpy as np
+    import pyarrow.parquet as papq
+
+    from crawlspark.ops import similarity
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cents = spark.read.parquet("/root/repo/fixtures/centroids.parquet")
+    cb = spark.read.parquet("/root/repo/fixtures/pq_codebooks.parquet")
+    df = similarity.ivfpq_topk(emb, cents, cb, k=5, n_queries=10)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    got = df.collect()
+    assert len(got) == 50
+    approx = {(r.q_id, r.n_id) for r in got}
+
+    t = papq.read_table("/root/testdata/sf0.001/embeddings.parquet")
+    vecs = np.array([list(v) for v in t.column("embedding").to_pylist()],
+                    dtype=np.float64)
+    ids = [int(i) for i in t.column("vec_id").to_pylist()]
+    idx = {i: j for j, i in enumerate(ids)}
+    exact = set()
+    for q in range(10):
+        d = ((vecs - vecs[idx[q]]) ** 2).sum(1)
+        d[idx[q]] = np.inf
+        exact |= {(q, ids[p]) for p in np.argsort(d)[:5]}
+    assert len(approx & exact) / len(exact) >= 0.35
+
+
 def test_graph_depths_deep_chain(spark):
     """r05 regression guard (same latent bug as cc_labels): a BFS
     walk deeper than a few rounds must not stack an unbounded logical
