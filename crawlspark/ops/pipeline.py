@@ -23,7 +23,7 @@ from pyspark.sql import functions as F
 from .dedup import dedup_materialize
 from .text import _WS, langid
 
-__all__ = ["training_corpus"]
+__all__ = ["training_corpus", "decontaminate"]
 
 
 def training_corpus(
@@ -50,3 +50,40 @@ def training_corpus(
     )
     kept = kept.join(lid, "doc_id")
     return dedup_materialize(kept, n_perm, bands, shingle_words)
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    shingle_words: int = 8,
+    min_hits: int = 1,
+) -> DataFrame:
+    """Benchmark decontamination (r9): drop every training doc that
+    shares at least ``min_hits`` distinct ``shingle_words``-word
+    shingles with ANY document in ``benchmark`` (any frame with a
+    ``text`` column) — the standard n-gram-overlap rule for keeping
+    eval/test data out of a pretraining corpus.
+
+    Scale shape: the benchmark side is an eval set (thousands of
+    rows, not billions) — its distinct shingle set is broadcast, so
+    the corpus pays one shingle explode + broadcast hash join + a
+    partial-count on the high-entropy doc_id key, and the final
+    removal is an ids-only left_anti join (the dedup_materialize
+    pattern). The corpus is never shuffled by content. Shingles
+    reuse dedup._shingles (zip_with build — the documented immunity
+    to the O(words^2) outer-array lambda trap)."""
+    from .dedup import _shingles
+
+    grams = F.array_distinct(_shingles(shingle_words))
+    bench_grams = F.broadcast(
+        benchmark.select(F.explode(grams).alias("g")).distinct()
+    )
+    contaminated = (
+        docs.select("doc_id", F.explode(grams).alias("g"))
+        .join(bench_grams, "g")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("hits"))
+        .filter(F.col("hits") >= min_hits)
+        .select("doc_id")
+    )
+    return docs.join(contaminated, "doc_id", "left_anti")

@@ -20,7 +20,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-__all__ = ["token_stats", "quality_score", "fingerprint", "langid", "pattern_stats"]
+__all__ = ["token_stats", "quality_score", "fingerprint", "langid",
+           "pattern_stats", "redact_pii", "repetition_stats"]
 
 _WS = r"\s+"
 
@@ -132,4 +133,64 @@ def langid(docs: DataFrame) -> DataFrame:
 
     return docs.select("doc_id", "lang", _lid(F.col("text")).alias("lang_pred")).orderBy(
         "doc_id"
+    )
+
+
+def redact_pii(docs: DataFrame) -> DataFrame:
+    """The scrubbing stage pattern_stats routes documents to (r9):
+    emails, URLs and phone-shaped digit runs replaced by typed
+    placeholder tokens, every other column untouched. Order matters
+    and is pinned by test: emails first (so a mailto-ish userinfo is
+    not half-eaten by the URL rule), then URLs, then phones (so
+    digits inside an already-scrubbed URL are gone before the loose
+    phone pattern runs). Pure regexp_replace column expressions — no
+    shuffle, no UDF, the same Java/RE2-portable regex subset as
+    pattern_stats."""
+    red = F.regexp_replace("text", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+", "<EMAIL>")
+    red = F.regexp_replace(red, r"https?://[^ \t\n]+", "<URL>")
+    red = F.regexp_replace(red, r"\+?[0-9][0-9()\-\s]{6,}[0-9]", "<PHONE>")
+    return docs.withColumn("text", red)
+
+
+def repetition_stats(docs: DataFrame) -> DataFrame:
+    """Gopher-style intra-document repetition features (r9):
+
+    * ``dup_line_frac`` — fraction of line-characters that live in a
+      line occurring more than once in the doc (boilerplate /
+      template pages score high);
+    * ``top_bigram_frac`` — occurrences of the most frequent word
+      bigram over all bigram occurrences (degenerate repeated-phrase
+      text scores high).
+
+    Shapes chosen for 100 TB: explode -> groupBy on the high-entropy
+    (doc_id, line/gram) key with map-side partial aggregation — NEVER
+    an array lambda that references the outer array (Catalyst
+    re-evaluates it per element, the O(n^2) trap dedup._shingles
+    documents); bigrams reuse the zip_with shingle builder. Docs with
+    NULL/empty text keep a row with NULL fractions (left join from
+    the id spine)."""
+    from .dedup import _shingles
+
+    lines = docs.select(
+        "doc_id", F.explode(F.split("text", "\n")).alias("line")
+    )
+    per_line = lines.groupBy("doc_id", "line").agg(F.count("*").alias("c"))
+    line_chars = (F.col("c") * F.length("line")).cast("double")
+    dup = per_line.groupBy("doc_id").agg(
+        F.round(
+            F.sum(F.when(F.col("c") > 1, line_chars).otherwise(F.lit(0.0)))
+            / F.greatest(F.sum(line_chars), F.lit(1.0)),
+            4,
+        ).alias("dup_line_frac")
+    )
+    grams = docs.select("doc_id", F.explode(_shingles(2)).alias("g"))
+    per_gram = grams.groupBy("doc_id", "g").agg(F.count("*").alias("c"))
+    top = per_gram.groupBy("doc_id").agg(
+        F.round(F.max("c") / F.sum("c"), 4).alias("top_bigram_frac")
+    )
+    return (
+        docs.select("doc_id")
+        .join(dup, "doc_id", "left")
+        .join(top, "doc_id", "left")
+        .orderBy("doc_id")
     )

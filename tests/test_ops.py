@@ -596,3 +596,76 @@ def test_cc_labels_driver_path_equals_distributed(spark):
     empty = spark.createDataFrame([], "doc_a: long, doc_b: long")
     a, b = both(empty)
     assert a == b == []
+
+
+def test_redact_pii_exact_and_order(spark):
+    """redact_pii: exact scrubbed strings, rule-order pinned (emails
+    before URLs before phones — a URL's digits must not leak into the
+    loose phone pattern), non-text columns untouched."""
+    from crawlspark.ops import text as tx
+
+    rows = [
+        ("d1", "mail bob.smith+x@ex-ample.org now", "s"),
+        ("d2", "see https://a.test/p?q=123456789 ok", "s"),
+        ("d3", "call +1 (555) 123-4567 today", "s"),
+        ("d4", "clean text stays clean", "s"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id string, text string, source string")
+    got = {r["doc_id"]: (r["text"], r["source"])
+           for r in tx.redact_pii(docs).collect()}
+    assert got["d1"] == ("mail <EMAIL> now", "s")
+    assert got["d2"] == ("see <URL> ok", "s")
+    assert got["d3"] == ("call <PHONE> today", "s")
+    assert got["d4"] == ("clean text stays clean", "s")
+
+
+def test_repetition_stats_gopher_fractions(spark):
+    """repetition_stats: exact dup-line and top-bigram fractions on
+    crafted docs; NULL-text docs keep a row with NULL fractions."""
+    from crawlspark.ops import text as tx
+
+    rows = [
+        # "ab\ncd\nab": line "ab" occurs 2x -> dup chars 4 of 6
+        ("d1", "ab\ncd\nab"),
+        # 4 words -> bigrams [x y, y x, x y]: top 2 of 3
+        ("d2", "x y x y"),
+        ("d3", "all lines unique\nno repeats here"),
+        ("d4", None),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id string, text string")
+    got = {r["doc_id"]: (r["dup_line_frac"], r["top_bigram_frac"])
+           for r in tx.repetition_stats(docs).collect()}
+    assert got["d1"][0] == round(4 / 6, 4)
+    assert got["d2"][1] == round(2 / 3, 4)
+    assert got["d3"] == (0.0, round(1 / 5, 4))
+    assert got["d4"] == (None, None)
+    assert len(got) == 4
+
+
+def test_decontaminate_benchmark_overlap(spark):
+    """decontaminate: a training doc containing a benchmark sentence
+    (>= one shared 8-word shingle) is dropped, clean docs survive;
+    the benchmark side is broadcast in the plan (the corpus is never
+    content-shuffled against it)."""
+    from crawlspark.ops import pipeline
+
+    bench_sent = "the quick brown fox jumps over the lazy dog"
+    docs = spark.createDataFrame(
+        [
+            ("t1", f"intro text then {bench_sent} then trailing words"),
+            ("t2", "a completely different document about spark engines "
+                   "running large scale crawls every single day"),
+            ("t3", "another clean doc with its own words in a long enough "
+                   "sentence to form many shingles"),
+        ],
+        "doc_id string, text string",
+    )
+    bench = spark.createDataFrame([("b1", bench_sent)], "doc_id string, text string")
+    out = pipeline.decontaminate(docs, bench)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan
+    kept = sorted(r["doc_id"] for r in out.collect())
+    assert kept == ["t2", "t3"]
+    # min_hits above the overlap keeps the contaminated doc too
+    lax = pipeline.decontaminate(docs, bench, min_hits=10)
+    assert sorted(r["doc_id"] for r in lax.collect()) == ["t1", "t2", "t3"]
