@@ -57,6 +57,7 @@ def decontaminate(
     benchmark: DataFrame,
     shingle_words: int = 8,
     min_hits: int = 1,
+    spill: bool = False,
 ) -> DataFrame:
     """Benchmark decontamination (r9): drop every training doc that
     shares at least ``min_hits`` distinct ``shingle_words``-word
@@ -71,7 +72,16 @@ def decontaminate(
     removal is an ids-only left_anti join (the dedup_materialize
     pattern). The corpus is never shuffled by content. Shingles
     reuse dedup._shingles (zip_with build — the documented immunity
-    to the O(words^2) outer-array lambda trap)."""
+    to the O(words^2) outer-array lambda trap).
+
+    ``spill=True`` materializes the (tiny) contaminated-ids frame to
+    a scratch parquet before the anti-join — REQUIRED when the
+    result feeds a multi-branch lineage (e.g. the dedup pipeline
+    reads its input 3+ times): a lazy result re-runs the shingle
+    explode + overlap join once PER BRANCH (measured: the composed
+    docs_training_corpus leg went 6.5 s lazy vs ~3 s spilled at
+    sf0.1 — the engine's spill_and_reread pattern, CLAUDE.md
+    'persist caches DATA, not the LOGICAL PLAN')."""
     from .dedup import _shingles
 
     grams = F.array_distinct(_shingles(shingle_words))
@@ -86,4 +96,8 @@ def decontaminate(
         .filter(F.col("hits") >= min_hits)
         .select("doc_id")
     )
+    if spill:
+        from ..scratch import spill_and_reread
+
+        contaminated = spill_and_reread(contaminated, "decontam")
     return docs.join(contaminated, "doc_id", "left_anti")
