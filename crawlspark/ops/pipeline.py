@@ -78,10 +78,12 @@ def decontaminate(
     a scratch parquet before the anti-join — REQUIRED when the
     result feeds a multi-branch lineage (e.g. the dedup pipeline
     reads its input 3+ times): a lazy result re-runs the shingle
-    explode + overlap join once PER BRANCH (measured: the composed
-    docs_training_corpus leg went 6.5 s lazy vs ~3 s spilled at
-    sf0.1 — the engine's spill_and_reread pattern, CLAUDE.md
-    'persist caches DATA, not the LOGICAL PLAN')."""
+    explode + overlap join once PER BRANCH (measured on the composed
+    training-corpus pipeline at sf0.1: 6.5 s lazy vs 4.8 s spilled;
+    the residual ~1.8 s is the one overlap pass itself, in family
+    with the minhash leg's own shingle cost — the engine's
+    spill_and_reread pattern, CLAUDE.md 'persist caches DATA, not
+    the LOGICAL PLAN')."""
     from .dedup import _shingles
 
     grams = F.array_distinct(_shingles(shingle_words))
