@@ -20,7 +20,7 @@ from pyspark.sql.window import Window
 __all__ = [
     "duplicate_body", "duplicate_title", "inlinks", "hreflang_reciprocity",
     "noindex", "self_canonical", "sf_emulation", "status_histogram",
-    "depth_histogram", "link_graph", "graph_depths",
+    "depth_histogram", "link_graph", "graph_depths", "pagerank",
 ]
 
 
@@ -264,3 +264,100 @@ def graph_depths(crawl: DataFrame, host: str, root: str = "/", max_iters: int = 
     if prev_spill is not None:
         release(prev_spill)  # superseded by the final spill above
     return out.orderBy("depth", "node")
+
+
+def pagerank(
+    crawl: DataFrame,
+    host: str,
+    iters: int = 10,
+    damping: float = 0.85,
+) -> DataFrame:
+    """PageRank over the intra-host link graph (r9) — the global-
+    importance refinement of the inlinks count (sql/inlinks.sql is
+    the reference's proxy; the reference defers anything iterative
+    to the notebook). Fixed ``iters`` power-iteration rounds with
+    uniform dangling-mass redistribution — deterministic given the
+    graph, no convergence probe.
+
+    Scale shapes (the graph_depths/cc_labels distributed-loop
+    pattern): edges carry a precomputed 1/out-degree weight (one
+    join before the loop, persisted); each round is ONE rank x edge
+    hash-join + sum-agg per dst; the dangling node set is static
+    (computed once) and its per-round mass is a single-scalar agg —
+    the bounded-collect exception (analysis.py precedent). Lineage
+    spills every 4 rounds so a 50-iteration run never stacks a plan
+    (CLAUDE.md: persist caches DATA, not the LOGICAL PLAN)."""
+    from .scratch import release, spill_and_reread
+
+    edges = (
+        crawl.filter(F.col("Address.Host") == host)
+        .select(F.col("Address.Path").alias("src"), F.explode("Links").alias("l"))
+        .filter(F.col("l.Address.Host") == host)
+        .select("src", F.col("l.Address.Path").alias("dst"))
+        .distinct()
+        .persist()
+    )
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .persist()
+    )
+    n = nodes.count()
+    if n == 0:
+        edges.unpersist()
+        nodes.unpersist()
+        return crawl.sparkSession.createDataFrame([], "node string, rank double")
+    outdeg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+    ew = (
+        edges.join(outdeg, "src")
+        .select("src", "dst", (F.lit(1.0) / F.col("deg")).alias("w"))
+        .persist()
+    )
+    dangling = nodes.join(
+        edges.select(F.col("src").alias("node")).distinct(), "node", "left_anti"
+    ).persist()
+    # each round's ranks frame is read twice (dangling-mass agg +
+    # contribution join) — persist per round, unpersist the
+    # predecessor; narrow (string, double) rows, safe to cache
+    ranks = nodes.select("node", F.lit(1.0 / n).alias("rank")).persist()
+    prev_spill = None
+    for it in range(iters):
+        d_mass = (
+            ranks.join(dangling, "node", "left_semi").agg(F.sum("rank")).collect()[0][0]
+            or 0.0
+        )
+        contribs = (
+            ranks.join(ew, ranks["node"] == ew["src"])
+            .select(F.col("dst").alias("node"), (F.col("rank") * F.col("w")).alias("c"))
+            .groupBy("node")
+            .agg(F.sum("c").alias("inmass"))
+        )
+        base = (1.0 - damping) / n + damping * d_mass / n
+        prev_ranks = ranks
+        ranks = (
+            nodes.join(contribs, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.lit(damping) * F.coalesce(F.col("inmass"), F.lit(0.0))
+                ).alias("rank"),
+            )
+            .persist()
+        )
+        if (it + 1) % 4 == 0:
+            staged = ranks
+            ranks, d = spill_and_reread(ranks, "crawlspark-pr-", return_dir=True)
+            staged.unpersist()  # superseded by the parquet reread
+            if prev_spill is not None:
+                release(prev_spill)
+            prev_spill = d
+        prev_ranks.unpersist()
+    out = spill_and_reread(ranks, "crawlspark-pr-")
+    ranks.unpersist()
+    for f in (edges, nodes, ew, dangling):
+        f.unpersist()
+    if prev_spill is not None:
+        release(prev_spill)
+    return out.orderBy(F.desc("rank"), "node")

@@ -669,3 +669,55 @@ def test_decontaminate_benchmark_overlap(spark):
     # min_hits above the overlap keeps the contaminated doc too
     lax = pipeline.decontaminate(docs, bench, min_hits=10)
     assert sorted(r["doc_id"] for r in lax.collect()) == ["t1", "t2", "t3"]
+
+
+def test_pagerank_matches_numpy_power_iteration(spark):
+    """analysis.pagerank (r9): the distributed loop (edge-weight
+    join + dst agg + static dangling set, lineage-spilled every 4
+    rounds) must match a direct numpy power iteration with the same
+    semantics (uniform dangling redistribution, fixed iterations) to
+    float tolerance, and conserve total rank mass = 1."""
+    import numpy as np
+
+    from crawlspark import analysis
+
+    # a->b, a->c, b->c, c->a, d->c, c->e; e is dangling
+    edge_list = [("/a", "/b"), ("/a", "/c"), ("/b", "/c"),
+                 ("/c", "/a"), ("/d", "/c"), ("/c", "/e")]
+    srcs = sorted({s for s, _ in edge_list})
+    rows = [
+        {
+            "Address": {"Host": "p.test", "Path": s},
+            "Links": [{"Address": {"Host": "p.test", "Path": t}}
+                      for (s2, t) in edge_list if s2 == s],
+        }
+        for s in srcs
+    ]
+    schema = (
+        "Address struct<Host: string, Path: string>, "
+        "Links array<struct<Address: struct<Host: string, Path: string>>>"
+    )
+    crawl = spark.createDataFrame(rows, schema)
+    iters, d = 9, 0.85  # 9 crosses two spill boundaries (rounds 4, 8)
+    got = {r["node"]: r["rank"]
+           for r in analysis.pagerank(crawl, "p.test", iters=iters).collect()}
+
+    nodes = sorted({x for e in edge_list for x in e})
+    idx = {v: i for i, v in enumerate(nodes)}
+    n = len(nodes)
+    out = np.zeros(n)
+    A = np.zeros((n, n))
+    for s, t in edge_list:
+        A[idx[t], idx[s]] += 1.0
+        out[idx[s]] += 1.0
+    r = np.full(n, 1.0 / n)
+    for _ in range(iters):
+        dangling_mass = r[out == 0].sum()
+        w = np.where(out > 0, r / np.where(out > 0, out, 1.0), 0.0)
+        r = (1 - d) / n + d * (A @ w) + d * dangling_mass / n
+    assert set(got) == set(nodes)
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+    for v in nodes:
+        assert abs(got[v] - r[idx[v]]) < 1e-9, (v, got[v], r[idx[v]])
+    # the hub (/c, 3 in-edges) outranks everything
+    assert max(got, key=got.get) == "/c"
