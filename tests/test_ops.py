@@ -721,3 +721,30 @@ def test_pagerank_matches_numpy_power_iteration(spark):
         assert abs(got[v] - r[idx[v]]) < 1e-9, (v, got[v], r[idx[v]])
     # the hub (/c, 3 in-edges) outranks everything
     assert max(got, key=got.get) == "/c"
+
+
+def test_pq_stored_codes_deployment_shape(spark, tmp_path):
+    """The deployment shape: pq_encode is a one-time index build
+    whose stored codes feed pq_topk/ivfpq_topk via codes=/buckets= —
+    results must be row-identical to the self-contained inline
+    recompute (same for a stored ivf_assign bucket table)."""
+    from crawlspark.ops import similarity
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cents = spark.read.parquet("/root/repo/fixtures/centroids.parquet")
+    cb = spark.read.parquet("/root/repo/fixtures/pq_codebooks.parquet")
+    similarity.pq_encode(emb, cb).write.parquet(str(tmp_path / "codes"))
+    similarity.ivf_assign(emb, cents).write.parquet(str(tmp_path / "buckets"))
+    codes = spark.read.parquet(str(tmp_path / "codes"))
+    buckets = spark.read.parquet(str(tmp_path / "buckets"))
+
+    key = lambda r: (r["q_id"], r["rnk"], r["n_id"], r["dist"])  # noqa: E731
+    inline = sorted(map(key, similarity.pq_topk(emb, cb, rerank=20).collect()))
+    stored = sorted(map(key, similarity.pq_topk(
+        emb, cb, rerank=20, codes=codes).collect()))
+    assert inline == stored and len(inline) == 50
+
+    inline2 = sorted(map(key, similarity.ivfpq_topk(emb, cents, cb).collect()))
+    stored2 = sorted(map(key, similarity.ivfpq_topk(
+        emb, cents, cb, codes=codes, buckets=buckets).collect()))
+    assert inline2 == stored2 and len(inline2) == 50
