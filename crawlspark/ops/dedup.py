@@ -31,6 +31,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from . import spread
+
 __all__ = [
     "exact_dedup", "minhash_signatures", "minhash_lsh_pairs",
     "lsh_verified_pairs", "ngram_jaccard_pairs", "simhash",
@@ -133,8 +135,16 @@ def minhash_signatures(docs: DataFrame, n_perm: int = 16, shingle_words: int = 2
     whose input is 1x the gram count (not n_perm x as a perm-explode
     would be). Map-side partial agg collapses per-partition
     duplicates before the wire. This is exactly how it distributes
-    at 10^9 docs."""
-    grams = docs.select(
+    at 10^9 docs.
+
+    The shingle+md5 work is pure per-row CPU chained on the scan, so
+    it runs at the SCAN's parallelism — for a small parquet table
+    that is 1-2 splits (r10: measured 3.2 s noop at sf1.0 for the
+    gram explode alone, on 2 of 32 cores). ``spread`` raises narrow
+    inputs to the session's parallelism first (no-op at real scale
+    where scans already have >= 1 split/core); only (doc_id, text)
+    cross the exchange."""
+    grams = spread(docs.select("doc_id", "text")).select(
         "doc_id", F.explode(F.array_distinct(_shingles(shingle_words))).alias("g")
     )
     # one md5 per gram; Catalyst subexpression elimination evaluates
@@ -161,6 +171,7 @@ def minhash_lsh_pairs(
     bands: int = 4,
     shingle_words: int = 2,
     max_bucket: int = 10_000,
+    _edges_only: bool = False,
 ) -> DataFrame:
     """LSH banding: signature split into `bands` rows of
     n_perm/bands; band key = md5 of the concatenated band slice;
@@ -182,7 +193,18 @@ def minhash_lsh_pairs(
     wider than it (an un-deduped giant identical-text cluster that
     would OOM the collect_list row AND emit O(width²) pairs) fails
     the job loudly with the fix in the message instead of dying in
-    an executor (ADVICE r03). None disables the guard."""
+    an executor (ADVICE r03). None disables the guard.
+
+    ``_edges_only`` (r10, internal): emit just the DISTINCT
+    (doc_a, doc_b) edge set — no est_jaccard, no global orderBy.
+    est_jaccard is functionally determined by the pair (one signature
+    per doc_id), so distinct-on-two-columns equals the public
+    three-column distinct projected down; downstream set consumers
+    (dup_labels' CC, lsh_verified_pairs' candidates) never read the
+    estimate or the order, and the skipped orderBy would otherwise
+    survive a persist/spill boundary as a real range-partitioned
+    sort (the optimizer only eliminates it under a same-plan
+    join/aggregate)."""
     rows_per_band = n_perm // bands
     sigs = minhash_signatures(docs, n_perm, shingle_words)
     sig_str = F.col("sig").cast("array<string>")
@@ -247,6 +269,15 @@ def minhash_lsh_pairs(
             ),
         )
     )
+    if _edges_only:
+        return (
+            buckets.select(F.explode(pairs_arr).alias("p"))
+            .select(
+                F.col("p.a.doc_id").alias("doc_a"),
+                F.col("p.b.doc_id").alias("doc_b"),
+            )
+            .distinct()
+        )
     pairs = (
         buckets.select(F.explode(pairs_arr).alias("p"))
         .select(
@@ -283,11 +314,30 @@ def lsh_verified_pairs(
     all-pairs space; ngram_jaccard_pairs' source-blocking emulates
     this stage standalone. Both joins against the gram table are
     plain equi-joins on doc id (broadcastable when the candidate set
-    is small, hash join otherwise)."""
-    cand = minhash_lsh_pairs(docs, n_perm, bands, shingle_words).select(
-        "doc_a", "doc_b"
+    is small, hash join otherwise).
+
+    r10: the verify stage computes grams ONLY for docs that appear in
+    a candidate pair. The previous shape joined the (tiny) candidate
+    set against a full-corpus gram frame on each side — two more
+    whole-corpus shingle passes whose rows were then discarded by the
+    join (measured: ~2/3 of the sf1.0 leg). Candidates are spilled
+    once (they feed three consumers — two id sides and the final
+    join — and a lazy frame would re-run the whole LSH per consumer),
+    then the corpus is pruned with a broadcast semi-join on the
+    candidate ids — bounded by true near-dups, the operator's
+    documented output bound — before any shingle is built."""
+    from ..scratch import spill_and_reread
+
+    cand = spill_and_reread(
+        minhash_lsh_pairs(docs, n_perm, bands, shingle_words, _edges_only=True),
+        "crawlspark-lshcand-",
     )
-    g = docs.select(
+    ids = (
+        cand.select(F.col("doc_a").alias("doc_id"))
+        .union(cand.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    g = docs.join(F.broadcast(ids), "doc_id", "semi").select(
         "doc_id", F.array_distinct(_shingles(shingle_words)).alias("grams")
     )
     a = g.select(F.col("doc_id").alias("doc_a"), F.col("grams").alias("ga"))
@@ -601,8 +651,11 @@ def dup_labels(docs: DataFrame, n_perm: int = 16, bands: int = 4,
                shingle_words: int = 2, max_iters: int = 20) -> DataFrame:
     """(doc_id, label) for every doc that appears in the minhash-LSH
     near-dup graph, where label = the component's min doc_id (the
-    canonical 'keep' doc) — cc_labels over the LSH pair graph."""
-    pairs = minhash_lsh_pairs(docs, n_perm, bands, shingle_words).select("doc_a", "doc_b")
+    canonical 'keep' doc) — cc_labels over the LSH pair graph.
+    Uses the _edges_only LSH variant (r10): CC reads the pair frame
+    as a set, and the public variant's est_jaccard + global orderBy
+    would execute for real under cc_labels' persist boundary."""
+    pairs = minhash_lsh_pairs(docs, n_perm, bands, shingle_words, _edges_only=True)
     return cc_labels(pairs, max_iters)
 
 

@@ -20,6 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from . import spread
 from .dedup import dedup_materialize
 from .text import _WS, langid
 
@@ -37,9 +38,18 @@ def training_corpus(
     """The surviving training corpus: docs with at least
     ``min_tokens`` whitespace tokens, language-ID'd into ``langs``,
     near-dup deduplicated (each cluster keeps its min-doc_id member).
-    Returns (doc_id, source, n_chars_calc) like dedup_materialize."""
+    Returns (doc_id, source, n_chars_calc) like dedup_materialize.
+
+    r10 shape: the filtered+language-ID'd corpus is spread to session
+    parallelism (the langid Arrow UDF otherwise runs at the 1-2-split
+    scan parallelism of a small table) and spilled ONCE to scratch
+    parquet before the dedup. dedup_materialize consumes its input
+    on two separate paths (the LSH pass materialized under cc_labels'
+    persist, and the final survivor anti-join), so a lazy ``kept``
+    re-ran the langid UDF + filter join per path — the spill runs
+    them once and both paths read the (partition-parallel) spill."""
     toks = F.split(F.trim("text"), _WS)
-    kept = docs.filter(F.size(toks) >= min_tokens)
+    kept = spread(docs.filter(F.size(toks) >= min_tokens))
     # language-ID over the token-filtered subset only — the join
     # discards non-kept rows anyway, so scoring the full corpus was
     # pure waste (the Arrow UDF is the composition's priciest filter)
@@ -48,7 +58,9 @@ def training_corpus(
         .filter(F.col("lang_pred").isin(*langs))
         .select("doc_id")
     )
-    kept = kept.join(lid, "doc_id")
+    from ..scratch import spill_and_reread
+
+    kept = spill_and_reread(kept.join(lid, "doc_id"), "crawlspark-tcorpus-")
     return dedup_materialize(kept, n_perm, bands, shingle_words)
 
 

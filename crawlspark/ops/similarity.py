@@ -32,6 +32,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from . import spread
+
 __all__ = ["cosine_topk", "srp_ann_topk", "srp_buckets", "ivf_assign",
            "ivf_assign_multi", "ivf_topk", "pq_encode", "pq_topk",
            "ivfpq_topk"]
@@ -48,8 +50,12 @@ def _cos(av, bv):
 def cosine_topk(emb: DataFrame, k: int = 5, n_queries: int = 10) -> DataFrame:
     """Exact top-k cosine neighbors for the first ``n_queries``
     vectors (excluding self). Query side is tiny -> broadcast it so
-    the cross join is a broadcast nested loop, not a shuffle."""
-    e = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    the cross join is a broadcast nested loop, not a shuffle. The
+    candidate side is spread to session parallelism first (r10): the
+    per-pair HOF dot products run in the scan stage, and a small
+    parquet table scans as 1-2 splits (measured 2.88 -> 0.66 s at
+    sf1.0 on local[32] from this alone)."""
+    e = spread(emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v")))
     q = F.broadcast(
         e.filter(F.col("vec_id") < n_queries).select(
             F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
@@ -98,8 +104,11 @@ def ivf_assign(emb: DataFrame, centroids: DataFrame) -> DataFrame:
     the DuckDB oracle assigns identically. The per-vector argmax
     collapses map-side (fan-out rows stay in their input partition),
     so the reduce shuffle carries ~one row per vector — the standard
-    IVF assign cost (n·k dot products), no all-pairs anywhere."""
-    scored = _centroid_scores(emb, centroids)
+    IVF assign cost (n·k dot products), no all-pairs anywhere.
+    The corpus side is spread first (r10, see cosine_topk): the n·k
+    HOF dot products otherwise run at the scan's 1-2-split
+    parallelism on a small table."""
+    scored = _centroid_scores(spread(emb.select("vec_id", "embedding")), centroids)
     return scored.groupBy("vec_id").agg(
         F.min(F.struct((-F.col("c_cos")).alias("neg"), F.col("centroid_id").alias("cid")))
         .getField("cid")
@@ -117,7 +126,7 @@ def ivf_assign_multi(emb: DataFrame, centroids: DataFrame, n_probe: int = 2) -> 
     shape as ivf_assign — the top-p select is a collect_list of k
     (small, broadcast-bounded) centroid scores per vector sorted in
     the aggregate, never a row_number window over the n*k fan-out."""
-    scored = _centroid_scores(emb, centroids)
+    scored = _centroid_scores(spread(emb.select("vec_id", "embedding")), centroids)
     tops = scored.groupBy("vec_id").agg(
         F.slice(
             F.array_sort(
@@ -149,8 +158,10 @@ def ivf_topk(
     the union by exact cosine. The scale path for embedding
     similarity at 10^9 vectors: per query only ~n_probe/k_centroids
     of the corpus is scored, and the bucket join shuffles on a
-    small-cardinality key whose skew is bounded by k-means balance."""
-    e = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    small-cardinality key whose skew is bounded by k-means balance.
+    Corpus side spread to session parallelism (r10, see cosine_topk)
+    before the HOF-heavy scoring."""
+    e = spread(emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v")))
     cand = e.join(ivf_assign(emb, centroids), "vec_id")
     qscores = _centroid_scores(emb.filter(F.col("vec_id") < n_queries), centroids)
     wq = Window.partitionBy("vec_id").orderBy(F.desc("c_cos"), "centroid_id")
@@ -246,7 +257,7 @@ def pq_encode(emb: DataFrame, codebooks: DataFrame) -> DataFrame:
     (vec, sub, code), argmin per (vec, sub) — distributes at 10^9
     vectors with no UDF and no skew (the groupBy key is
     high-entropy (vec_id, sub, code))."""
-    comp = emb.select(
+    comp = spread(emb.select("vec_id", "embedding")).select(
         "vec_id",
         F.posexplode(F.col("embedding").cast("array<double>")).alias("dim", "x"),
     )
