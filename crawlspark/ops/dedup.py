@@ -337,7 +337,10 @@ def lsh_verified_pairs(
         .union(cand.select(F.col("doc_b").alias("doc_id")))
         .distinct()
     )
-    g = docs.join(F.broadcast(ids), "doc_id", "semi").select(
+    pruned = spread(
+        docs.join(F.broadcast(ids), "doc_id", "semi").select("doc_id", "text")
+    )
+    g = pruned.select(
         "doc_id", F.array_distinct(_shingles(shingle_words)).alias("grams")
     )
     a = g.select(F.col("doc_id").alias("doc_a"), F.col("grams").alias("ga"))

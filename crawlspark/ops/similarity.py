@@ -173,8 +173,15 @@ def ivf_topk(
     q = probes.join(
         e.select(F.col("vec_id").alias("q_id"), F.col("v").alias("qv")), "q_id"
     )
+    # broadcast the (n_queries x n_probe)-row query side explicitly
+    # (r10): size ESTIMATES for this join-of-a-window put it over the
+    # auto-broadcast threshold, so the planner picked a sort-merge
+    # join that shuffled the whole candidate corpus into <= n_centroid
+    # bucket keys — a skewed exchange AND the HOF rerank collapsed to
+    # that few cores. Broadcasting keeps candidates in their spread
+    # partitions with no exchange at all.
     scored = (
-        q.join(cand, "bucket")
+        F.broadcast(q).join(cand, "bucket")
         .filter(F.col("vec_id") != F.col("q_id"))
         .select(
             "q_id",
@@ -223,8 +230,11 @@ def srp_ann_topk(
     q = eb.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("q_id"), F.col("v").alias("qv"), "bucket"
     )
+    # explicit broadcast of the n_queries-row side (r10, see ivf_topk:
+    # the estimate-driven plan was a sort-merge join shuffling every
+    # candidate by the low-cardinality bucket key)
     scored = (
-        q.join(eb, "bucket")
+        F.broadcast(q).join(eb, "bucket")
         .filter(F.col("vec_id") != F.col("q_id"))
         .select(
             "q_id",
