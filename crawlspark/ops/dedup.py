@@ -399,7 +399,7 @@ def ngram_jaccard_pairs(
             "ngram_jaccard_pairs requires threshold > 0: the inverted-"
             "index formulation never materializes zero-overlap pairs"
         )
-    sh = docs.select(
+    sh = spread(docs.select("doc_id", block_col, "text")).select(
         "doc_id", block_col, F.array_distinct(_shingles(shingle_words)).alias("grams")
     )
     sizes = sh.select("doc_id", F.size("grams").alias("n"))
@@ -730,7 +730,11 @@ def simhash(docs: DataFrame) -> DataFrame:
             out[i] = np.int64(h.astype(np.int64))
         return pd.Series(out)
 
-    return docs.select("doc_id", _simhash(F.col("text")).alias("simhash64")).orderBy("doc_id")
+    return (
+        spread(docs.select("doc_id", "text"))
+        .select("doc_id", _simhash(F.col("text")).alias("simhash64"))
+        .orderBy("doc_id")
+    )
 
 
 def simhash_neardup(docs: DataFrame, max_hamming: int = 7, bands: int = 8) -> DataFrame:

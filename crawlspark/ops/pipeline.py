@@ -103,7 +103,8 @@ def decontaminate(
         benchmark.select(F.explode(grams).alias("g")).distinct()
     )
     contaminated = (
-        docs.select("doc_id", F.explode(grams).alias("g"))
+        spread(docs.select("doc_id", "text"))
+        .select("doc_id", F.explode(grams).alias("g"))
         .join(bench_grams, "g")
         .groupBy("doc_id")
         .agg(F.count("*").alias("hits"))

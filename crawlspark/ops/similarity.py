@@ -426,6 +426,14 @@ def ivfpq_topk(
     )
     scored = (
         cand.join(F.broadcast(probes), "bucket")
+        # one contribution per (q_id, vec_id, sub) (ADVICE r9 #2): a
+        # stored multi-probe ``buckets`` table (ivf_assign_multi) can
+        # list a vector in two probed buckets, which would double its
+        # pd2 rows in the ADC sum and corrupt the shortlist. For the
+        # single-probe ivf_assign shape the key is already unique, so
+        # this is a pure no-op there (duplicate rows are identical —
+        # same code, same pd2 — so which one survives is immaterial).
+        .dropDuplicates(["q_id", "vec_id", "sub"])
         .join(F.broadcast(qtab), ["q_id", "sub", "code"])
         .filter(F.col("vec_id") != F.col("q_id"))
         .groupBy("q_id", F.col("vec_id").alias("n_id"))

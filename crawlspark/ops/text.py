@@ -20,6 +20,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from . import spread
+
 __all__ = ["token_stats", "quality_score", "fingerprint", "langid",
            "pattern_stats", "redact_pii", "repetition_stats"]
 
@@ -75,7 +77,7 @@ def fingerprint(docs: DataFrame, k: int = 4, shingle_words: int = 3) -> DataFram
         _shingles(shingle_words),
         lambda g: F.md5(F.encode(g, "utf-8")),
     )
-    return docs.select(
+    return spread(docs.select("doc_id", "text")).select(
         "doc_id",
         F.concat_ws(",", F.slice(F.array_sort(F.array_distinct(shingles)), 1, k)).alias(
             "fingerprint"
@@ -90,7 +92,7 @@ def pattern_stats(docs: DataFrame) -> DataFrame:
     regex subset Java (Spark) and RE2 (DuckDB) treat identically, so
     the oracle recomputes them exactly; narrow column expressions, no
     shuffle."""
-    return docs.select(
+    return spread(docs.select("doc_id", "text")).select(
         "doc_id",
         F.regexp_count("text", F.lit(r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+")).alias("n_emails"),
         F.regexp_count("text", F.lit(r"https?://[^ \t\n]+")).alias("n_urls"),
@@ -131,8 +133,10 @@ def langid(docs: DataFrame) -> DataFrame:
 
         return texts.map(score)
 
-    return docs.select("doc_id", "lang", _lid(F.col("text")).alias("lang_pred")).orderBy(
-        "doc_id"
+    return (
+        spread(docs.select("doc_id", "lang", "text"))
+        .select("doc_id", "lang", _lid(F.col("text")).alias("lang_pred"))
+        .orderBy("doc_id")
     )
 
 
@@ -148,7 +152,12 @@ def redact_pii(docs: DataFrame) -> DataFrame:
     pattern_stats."""
     red = F.regexp_replace("text", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+", "<EMAIL>")
     red = F.regexp_replace(red, r"https?://[^ \t\n]+", "<URL>")
-    red = F.regexp_replace(red, r"\+?[0-9][0-9()\-\s]{6,}[0-9]", "<PHONE>")
+    # phone class spells out RE2's \s ([ \t\n\f\r]) instead of Java's
+    # \s (ADVICE r9 #1): Java additionally matches U+000B, so a
+    # vertical tab inside a phone-like digit run would diverge from
+    # the DuckDB oracle's identical regex chain. Same match set on
+    # every byte both engines treat alike.
+    red = F.regexp_replace(red, r"\+?[0-9][0-9()\- \t\n\f\r]{6,}[0-9]", "<PHONE>")
     return docs.withColumn("text", red)
 
 
@@ -171,7 +180,8 @@ def repetition_stats(docs: DataFrame) -> DataFrame:
     the id spine)."""
     from .dedup import _shingles
 
-    lines = docs.select(
+    base = spread(docs.select("doc_id", "text"))
+    lines = base.select(
         "doc_id", F.explode(F.split("text", "\n")).alias("line")
     )
     per_line = lines.groupBy("doc_id", "line").agg(F.count("*").alias("c"))
@@ -183,7 +193,7 @@ def repetition_stats(docs: DataFrame) -> DataFrame:
             4,
         ).alias("dup_line_frac")
     )
-    grams = docs.select("doc_id", F.explode(_shingles(2)).alias("g"))
+    grams = base.select("doc_id", F.explode(_shingles(2)).alias("g"))
     per_gram = grams.groupBy("doc_id", "g").agg(F.count("*").alias("c"))
     top = per_gram.groupBy("doc_id").agg(
         F.round(F.max("c") / F.sum("c"), 4).alias("top_bigram_frac")
