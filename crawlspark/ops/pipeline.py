@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 
 from . import spread
 from .dedup import dedup_materialize
-from .text import _WS, langid
+from .text import _WS
 
 __all__ = ["training_corpus", "decontaminate"]
 
@@ -47,20 +47,27 @@ def training_corpus(
     on two separate paths (the LSH pass materialized under cc_labels'
     persist, and the final survivor anti-join), so a lazy ``kept``
     re-ran the langid UDF + filter join per path — the spill runs
-    them once and both paths read the (partition-parallel) spill."""
-    toks = F.split(F.trim("text"), _WS)
-    kept = spread(docs.filter(F.size(toks) >= min_tokens))
-    # language-ID over the token-filtered subset only — the join
-    # discards non-kept rows anyway, so scoring the full corpus was
-    # pure waste (the Arrow UDF is the composition's priciest filter)
-    lid = (
-        langid(kept)
-        .filter(F.col("lang_pred").isin(*langs))
-        .select("doc_id")
-    )
+    them once and both paths read the (partition-parallel) spill.
+    The language filter is the UDF applied as a COLUMN on the kept
+    rows (same predictions, doc_id unique, so identical row set as
+    the former join against langid()'s frame — language-ID still runs
+    over the token-filtered subset only), and the spill carries just
+    the columns the dedup stage reads (doc_id, text, source)."""
     from ..scratch import spill_and_reread
+    from ..shipping import ensure_shipped_df
+    from .text import _lid_udf
 
-    kept = spill_and_reread(kept.join(lid, "doc_id"), "crawlspark-tcorpus-")
+    ensure_shipped_df(docs)
+    toks = F.split(F.trim("text"), _WS)
+    kept = spread(
+        docs.filter(F.size(toks) >= min_tokens).select("doc_id", "text", "source")
+    )
+    kept = (
+        kept.withColumn("_lp", _lid_udf()(F.col("text")))
+        .filter(F.col("_lp").isin(*langs))
+        .drop("_lp")
+    )
+    kept = spill_and_reread(kept, "crawlspark-tcorpus-")
     return dedup_materialize(kept, n_perm, bands, shingle_words)
 
 

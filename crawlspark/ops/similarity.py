@@ -160,9 +160,33 @@ def ivf_topk(
     of the corpus is scored, and the bucket join shuffles on a
     small-cardinality key whose skew is bounded by k-means balance.
     Corpus side spread to session parallelism (r10, see cosine_topk)
-    before the HOF-heavy scoring."""
+    before the HOF-heavy scoring.
+
+    r10: the candidate build carries ``v`` THROUGH the assignment
+    aggregate (first(v) — constant per vec_id group, so the value is
+    deterministic) instead of joining ivf_assign's (vec_id, bucket)
+    back against the vector table: same bucket expression as
+    ivf_assign (argmin via min-of-struct over the identical rounded
+    c_cos), one corpus shuffle instead of an extra sort-merge join's
+    two exchanges + sorts of the array column."""
     e = spread(emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v")))
-    cand = e.join(ivf_assign(emb, centroids), "vec_id")
+    c = F.broadcast(
+        centroids.select(
+            "centroid_id", F.col("center").cast("array<double>").alias("cv")
+        )
+    )
+    cscored = e.crossJoin(c).select(
+        "vec_id",
+        "v",
+        "centroid_id",
+        F.round(_cos(F.col("v"), F.col("cv")), 6).alias("c_cos"),
+    )
+    cand = cscored.groupBy("vec_id").agg(
+        F.min(F.struct((-F.col("c_cos")).alias("neg"), F.col("centroid_id").alias("cid")))
+        .getField("cid")
+        .alias("bucket"),
+        F.first("v").alias("v"),
+    )
     qscores = _centroid_scores(emb.filter(F.col("vec_id") < n_queries), centroids)
     wq = Window.partitionBy("vec_id").orderBy(F.desc("c_cos"), "centroid_id")
     probes = (

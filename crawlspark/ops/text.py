@@ -110,13 +110,13 @@ _PROFILES = {
 }
 
 
-def langid(docs: DataFrame) -> DataFrame:
-    """Character-trigram profile scorer. On synthetic word-salad text
-    this mostly says 'en'/'unknown' — the operator (not the
-    classifier) is what the pipeline needs."""
-    from ..shipping import ensure_shipped_df
-
-    ensure_shipped_df(docs)
+def _lid_udf():
+    """The language-ID pandas UDF itself — shared by ``langid`` and
+    pipeline.training_corpus' inline filter (r10): the pipeline
+    applies the prediction as a COLUMN on the kept corpus instead of
+    joining ``langid``'s output frame back on doc_id (one Arrow pass,
+    no join, no second evaluation of the kept subtree). Callers are
+    responsible for ensure_shipped on their input frame."""
 
     @F.pandas_udf(T.StringType())
     def _lid(texts: pd.Series) -> pd.Series:
@@ -133,6 +133,17 @@ def langid(docs: DataFrame) -> DataFrame:
 
         return texts.map(score)
 
+    return _lid
+
+
+def langid(docs: DataFrame) -> DataFrame:
+    """Character-trigram profile scorer. On synthetic word-salad text
+    this mostly says 'en'/'unknown' — the operator (not the
+    classifier) is what the pipeline needs."""
+    from ..shipping import ensure_shipped_df
+
+    ensure_shipped_df(docs)
+    _lid = _lid_udf()
     return (
         spread(docs.select("doc_id", "lang", "text"))
         .select("doc_id", "lang", _lid(F.col("text")).alias("lang_pred"))
