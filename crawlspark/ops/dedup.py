@@ -463,7 +463,7 @@ def embedding_neardup_ivf(
     recall-vs-brute-force comparison), at ~p^2/2 x the in-bucket pair
     work. Candidate pairs are deduped BEFORE the cosine evaluation so
     a pair sharing several probed buckets is scored once."""
-    from .similarity import ivf_assign, ivf_assign_multi
+    from .similarity import _cos_pre, _norm, ivf_assign, ivf_assign_multi
 
     assign = (
         ivf_assign(emb, centroids)
@@ -482,16 +482,19 @@ def embedding_neardup_ivf(
         )
         .distinct()
     )
-    e = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
-    a = e.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"))
-    b = e.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"))
-
-    def dot(x, y):
-        return F.aggregate(F.zip_with(x, y, lambda p, q: p * q), F.lit(0.0), lambda s, t: s + t)
-
-    cos = dot(F.col("va"), F.col("vb")) / (
-        F.sqrt(dot(F.col("va"), F.col("va"))) * F.sqrt(dot(F.col("vb"), F.col("vb")))
+    # norms hoisted per vector (r10, similarity._norm): the in-bucket
+    # pair space is the quadratic term here, and the inline cosine
+    # paid 3 interpreted dot products per pair
+    e = spread(
+        emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    ).withColumn("n", _norm(F.col("v")))
+    a = e.select(
+        F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), F.col("n").alias("na")
     )
+    b = e.select(
+        F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"), F.col("n").alias("nb")
+    )
+    cos = _cos_pre(F.col("va"), F.col("na"), F.col("vb"), F.col("nb"))
     return (
         cand.join(a, "vec_a")
         .join(b, "vec_b")
@@ -792,16 +795,16 @@ def embedding_neardup(
 ) -> DataFrame:
     """Embedding-cosine near-duplicates, blocked to avoid O(n²)
     (label here; IVF buckets at scale). Cosine in float64 via
-    higher-order zip_with/aggregate — all JVM-side."""
-    e = emb.select("vec_id", block_col, F.col("embedding").cast("array<double>").alias("v"))
+    higher-order zip_with/aggregate — all JVM-side; norms hoisted per
+    vector (r10, similarity._norm) so each in-block pair pays one dot
+    product, not three."""
+    from .similarity import _cos_pre, _norm
+
+    e = spread(
+        emb.select("vec_id", block_col, F.col("embedding").cast("array<double>").alias("v"))
+    ).withColumn("n", _norm(F.col("v")))
     a, b = e.alias("a"), e.alias("b")
-
-    def dot(x, y):
-        return F.aggregate(F.zip_with(x, y, lambda p, q: p * q), F.lit(0.0), lambda s, t: s + t)
-
-    cos = dot(F.col("a.v"), F.col("b.v")) / (
-        F.sqrt(dot(F.col("a.v"), F.col("a.v"))) * F.sqrt(dot(F.col("b.v"), F.col("b.v")))
-    )
+    cos = _cos_pre(F.col("a.v"), F.col("a.n"), F.col("b.v"), F.col("b.n"))
     return (
         a.join(
             b,

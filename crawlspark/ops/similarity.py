@@ -47,6 +47,22 @@ def _cos(av, bv):
     return _dot(av, bv) / (F.sqrt(_dot(av, av)) * F.sqrt(_dot(bv, bv)))
 
 
+def _norm(v):
+    """sqrt(v·v) — hoisted per VECTOR instead of per pair (r10): the
+    inline _cos re-evaluated both self-dots for every scored pair, so
+    a P-pair rerank paid 3P interpreted-HOF dot products. Computing
+    the identical expression once per row and multiplying the two
+    norm COLUMNS in the pair projection yields bit-identical doubles
+    (same element order, same operations — only the evaluation count
+    changes) at ~P dots."""
+    return F.sqrt(_dot(v, v))
+
+
+def _cos_pre(av, an, bv, bn):
+    """Cosine from pre-hoisted norms: same value as _cos(av, bv)."""
+    return _dot(av, bv) / (an * bn)
+
+
 def cosine_topk(emb: DataFrame, k: int = 5, n_queries: int = 10) -> DataFrame:
     """Exact top-k cosine neighbors for the first ``n_queries``
     vectors (excluding self). Query side is tiny -> broadcast it so
@@ -55,10 +71,12 @@ def cosine_topk(emb: DataFrame, k: int = 5, n_queries: int = 10) -> DataFrame:
     per-pair HOF dot products run in the scan stage, and a small
     parquet table scans as 1-2 splits (measured 2.88 -> 0.66 s at
     sf1.0 on local[32] from this alone)."""
-    e = spread(emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v")))
+    e = spread(
+        emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    ).withColumn("n", _norm(F.col("v")))
     q = F.broadcast(
         e.filter(F.col("vec_id") < n_queries).select(
-            F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
+            F.col("vec_id").alias("q_id"), F.col("v").alias("qv"), F.col("n").alias("qn")
         )
     )
     scored = (
@@ -67,7 +85,7 @@ def cosine_topk(emb: DataFrame, k: int = 5, n_queries: int = 10) -> DataFrame:
         .select(
             "q_id",
             F.col("vec_id").alias("n_id"),
-            F.round(_cos(F.col("qv"), F.col("v")), 4).alias("cosine"),
+            F.round(_cos_pre(F.col("qv"), F.col("qn"), F.col("v"), F.col("n")), 4).alias("cosine"),
         )
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), "n_id")
@@ -84,16 +102,18 @@ def _centroid_scores(emb: DataFrame, centroids: DataFrame) -> DataFrame:
     fan-out join never shuffles the vector side; c_cos is rounded to
     6 decimals so the argmin/argsort is robust to sub-ulp summation
     differences across engines (ties broken by centroid_id)."""
-    e = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    e = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    ).withColumn("n", _norm(F.col("v")))
     c = F.broadcast(
         centroids.select(
             "centroid_id", F.col("center").cast("array<double>").alias("cv")
-        )
+        ).withColumn("cn", _norm(F.col("cv")))
     )
     return e.crossJoin(c).select(
         "vec_id",
         "centroid_id",
-        F.round(_cos(F.col("v"), F.col("cv")), 6).alias("c_cos"),
+        F.round(_cos_pre(F.col("v"), F.col("n"), F.col("cv"), F.col("cn")), 6).alias("c_cos"),
     )
 
 
@@ -169,23 +189,27 @@ def ivf_topk(
     ivf_assign (argmin via min-of-struct over the identical rounded
     c_cos), one corpus shuffle instead of an extra sort-merge join's
     two exchanges + sorts of the array column."""
-    e = spread(emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v")))
+    e = spread(
+        emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    ).withColumn("n", _norm(F.col("v")))
     c = F.broadcast(
         centroids.select(
             "centroid_id", F.col("center").cast("array<double>").alias("cv")
-        )
+        ).withColumn("cn", _norm(F.col("cv")))
     )
     cscored = e.crossJoin(c).select(
         "vec_id",
         "v",
+        "n",
         "centroid_id",
-        F.round(_cos(F.col("v"), F.col("cv")), 6).alias("c_cos"),
+        F.round(_cos_pre(F.col("v"), F.col("n"), F.col("cv"), F.col("cn")), 6).alias("c_cos"),
     )
     cand = cscored.groupBy("vec_id").agg(
         F.min(F.struct((-F.col("c_cos")).alias("neg"), F.col("centroid_id").alias("cid")))
         .getField("cid")
         .alias("bucket"),
         F.first("v").alias("v"),
+        F.first("n").alias("n"),
     )
     qscores = _centroid_scores(emb.filter(F.col("vec_id") < n_queries), centroids)
     wq = Window.partitionBy("vec_id").orderBy(F.desc("c_cos"), "centroid_id")
@@ -195,7 +219,10 @@ def ivf_topk(
         .select(F.col("vec_id").alias("q_id"), F.col("centroid_id").alias("bucket"))
     )
     q = probes.join(
-        e.select(F.col("vec_id").alias("q_id"), F.col("v").alias("qv")), "q_id"
+        e.select(
+            F.col("vec_id").alias("q_id"), F.col("v").alias("qv"), F.col("n").alias("qn")
+        ),
+        "q_id",
     )
     # broadcast the (n_queries x n_probe)-row query side explicitly
     # (r10): size ESTIMATES for this join-of-a-window put it over the
@@ -210,7 +237,7 @@ def ivf_topk(
         .select(
             "q_id",
             F.col("vec_id").alias("n_id"),
-            F.round(_cos(F.col("qv"), F.col("v")), 4).alias("cosine"),
+            F.round(_cos_pre(F.col("qv"), F.col("qn"), F.col("v"), F.col("n")), 4).alias("cosine"),
         )
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), "n_id")
@@ -247,12 +274,16 @@ def srp_buckets(emb: DataFrame, planes: DataFrame) -> DataFrame:
 def srp_ann_topk(
     emb: DataFrame, planes: DataFrame, k: int = 5, n_queries: int = 10
 ) -> DataFrame:
-    """ANN: same-bucket candidates re-ranked by exact cosine."""
-    e = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    """ANN: same-bucket candidates re-ranked by exact cosine (norms
+    hoisted per vector, r10 — see _norm)."""
+    e = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    ).withColumn("n", _norm(F.col("v")))
     buckets = srp_buckets(emb, planes)
     eb = e.join(buckets, "vec_id")
     q = eb.filter(F.col("vec_id") < n_queries).select(
-        F.col("vec_id").alias("q_id"), F.col("v").alias("qv"), "bucket"
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv"),
+        F.col("n").alias("qn"), "bucket"
     )
     # explicit broadcast of the n_queries-row side (r10, see ivf_topk:
     # the estimate-driven plan was a sort-merge join shuffling every
@@ -263,7 +294,7 @@ def srp_ann_topk(
         .select(
             "q_id",
             F.col("vec_id").alias("n_id"),
-            F.round(_cos(F.col("qv"), F.col("v")), 4).alias("cosine"),
+            F.round(_cos_pre(F.col("qv"), F.col("qn"), F.col("v"), F.col("n")), 4).alias("cosine"),
         )
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), "n_id")
