@@ -748,3 +748,108 @@ def test_pq_stored_codes_deployment_shape(spark, tmp_path):
     stored2 = sorted(map(key, similarity.ivfpq_topk(
         emb, cents, cb, codes=codes, buckets=buckets).collect()))
     assert inline2 == stored2 and len(inline2) == 50
+
+
+def test_spread_is_noop_at_or_above_parallelism(spark):
+    """r10 ops.spread: raises a narrow frame to defaultParallelism for
+    CPU-heavy stages, and must be a structural NO-OP when the input
+    already has that many partitions (the real-scale case — a spread
+    that re-shuffled wide scans would add an exchange per operator)."""
+    from crawlspark.ops import spread
+
+    par = spark.sparkContext.defaultParallelism
+    small = spark.range(100)  # few partitions
+    assert spread(small).rdd.getNumPartitions() == max(
+        par, small.rdd.getNumPartitions()
+    )
+    wide = spark.range(100).repartition(par + 3)
+    assert spread(wide) is wide  # identity, not just same count
+
+
+def test_lsh_edges_only_equals_public_pair_set(spark):
+    """r10: the _edges_only LSH variant (used by dup_labels and
+    lsh_verified_pairs) must return exactly the public pair SET —
+    est_jaccard is functionally determined by the pair, so dropping
+    it before distinct cannot change the set."""
+    from crawlspark.ops import dedup
+
+    rows = [(i, f"alpha beta gamma delta {i % 4} epsilon zeta", "s") for i in range(40)]
+    docs = spark.createDataFrame(rows, "doc_id: long, text: string, source: string")
+    pub = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.minhash_lsh_pairs(docs).select("doc_a", "doc_b").collect()
+    }
+    edges = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.minhash_lsh_pairs(docs, _edges_only=True).collect()
+    }
+    assert pub == edges and len(edges) > 0
+
+
+def test_cos_pre_bit_equals_inline_cos(spark):
+    """r10 norm hoisting: _cos_pre with per-vector hoisted norms must
+    be BIT-identical to the inline _cos for every pair (same element
+    order, same ops — only the evaluation count changes). The oracle
+    gate compares float hex, so approximate equality is not enough."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from crawlspark.ops.similarity import _cos, _cos_pre, _norm
+
+    rng = random.Random(7)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(17)]) for i in range(30)
+    ]
+    e = spark.createDataFrame(rows, "vec_id: long, v: array<double>")
+    a = e.select(F.col("vec_id").alias("ia"), F.col("v").alias("va")).withColumn(
+        "na", _norm(F.col("va"))
+    )
+    b = e.select(F.col("vec_id").alias("ib"), F.col("v").alias("vb")).withColumn(
+        "nb", _norm(F.col("vb"))
+    )
+    pairs = a.crossJoin(b).filter(F.col("ia") < F.col("ib"))
+    out = pairs.select(
+        _cos(F.col("va"), F.col("vb")).alias("inline"),
+        _cos_pre(F.col("va"), F.col("na"), F.col("vb"), F.col("nb")).alias("pre"),
+    ).collect()
+    assert len(out) == 30 * 29 // 2
+    for r in out:
+        assert r["inline"].hex() == r["pre"].hex()
+
+
+def test_lsh_verified_candidate_pruning_is_lossless(spark):
+    """r10: lsh_verified_pairs computes verify grams only for docs in
+    a candidate pair; the verified output must be identical to the
+    unpruned definition (exact Jaccard over the candidate set)."""
+    from pyspark.sql import functions as F
+
+    from crawlspark.ops import dedup
+    from crawlspark.ops.dedup import _shingles
+
+    rows = [(i, f"one two three four five {i % 3} six seven", "s") for i in range(30)]
+    rows += [(100 + i, "totally different text block entirely unique %d" % i, "s") for i in range(5)]
+    docs = spark.createDataFrame(rows, "doc_id: long, text: string, source: string")
+    got = {
+        (r["doc_a"], r["doc_b"], r["jaccard"])
+        for r in dedup.lsh_verified_pairs(docs, threshold=0.1).collect()
+    }
+    # reference: candidates x full-corpus gram frames (the pre-r10 shape)
+    cand = dedup.minhash_lsh_pairs(docs).select("doc_a", "doc_b")
+    g = docs.select("doc_id", F.array_distinct(_shingles(2)).alias("grams"))
+    a = g.select(F.col("doc_id").alias("doc_a"), F.col("grams").alias("ga"))
+    b = g.select(F.col("doc_id").alias("doc_b"), F.col("grams").alias("gb"))
+    inter = F.size(F.array_intersect("ga", "gb"))
+    union = F.size("ga") + F.size("gb") - inter
+    ref = {
+        (r["doc_a"], r["doc_b"], r["jaccard"])
+        for r in cand.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            "doc_a", "doc_b",
+            F.round(inter / F.greatest(union, F.lit(1)), 4).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= 0.1)
+        .collect()
+    }
+    assert got == ref and len(got) > 0
