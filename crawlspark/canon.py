@@ -91,12 +91,40 @@ def _valid_escapes(s: str) -> bool:
     return True
 
 
+# parse_url fast shape (r10): plain absolute http(s) URL — lowercase
+# scheme, ASCII-word host, and NO percent escapes anywhere (so every
+# _valid_escapes check is trivially true), no control chars incl.
+# \x7f (which _CTRL_RE rejects but FAST_URL_RE's classes let through
+# — this pattern excludes it everywhere), no whitespace/quotes in the
+# host. Any other shape falls through to the general parser, so the
+# fast path can only be a pure shortcut; equivalence is
+# property-tested field-by-field in tests/test_canon.py.
+_PARSE_FAST_RE = re.compile(
+    r"^(https?)://([A-Za-z0-9.\-_:]+)((?:/[^?#%\s\x00-\x1f\x7f]*)?)"
+    r"(?:\?([^#%\s\x00-\x1f\x7f]*))?(?:#([^%\s\x00-\x1f\x7f]*))?$"
+)
+
+
 def parse_url(raw: str) -> URLParts | None:
     """Parse like Go ``url.Parse``: split scheme/authority/path/query/
     fragment, validate percent escapes in the path, reject control
     characters. Returns None on error (Go returns err)."""
     if raw is None:
         return None
+    m = _PARSE_FAST_RE.match(raw)
+    if m is not None:
+        u = URLParts()
+        u.scheme = m.group(1)
+        u.host = m.group(2)
+        u.raw_path = m.group(3)
+        u.raw_query = m.group(4)
+        u.fragment = m.group(5)
+        return u
+    return _parse_url_general(raw)
+
+
+def _parse_url_general(raw: str) -> URLParts | None:
+    """The general parser — the authority the fast path must match."""
     if _CTRL_RE.search(raw):
         return None
     u = URLParts()
@@ -297,6 +325,28 @@ def resolve_address(base_full: str, href: str) -> dict | None:
             return None
         hu.scheme, hu.opaque, hu.host = bu.scheme, "", bu.host
         return _address_from_parts(hu)
+    if href.startswith("http://") or href.startswith("https://"):
+        # absolute http(s) href: RFC 3986 resolution of an absolute
+        # reference is the reference itself once its path's dot
+        # segments are removed — with none present ("/." guard covers
+        # "/./", "/../" and trailing "/."/"/.."), urljoin(base, href)
+        # == href byte-for-byte, so skip the base parse + urljoin +
+        # re-parse (one slow resolve per page: the canonical link).
+        # Base must still PARSE (parity: the general path returns None
+        # for an unparseable base even when href is absolute).
+        # Equivalence property-tested in tests/test_canon.py.
+        hu = parse_url(href)
+        if hu is None:
+            return None
+        # raw_query == "" (trailing "?") is excluded: python's urljoin
+        # drops the bare "?" and this branch must stay byte-faithful
+        # to the urljoin path (unlike the path-absolute fast path,
+        # which deliberately matches Go instead — see
+        # test_resolve_trailing_question_mark_go_parity).
+        if hu.host and not hu.opaque and "/." not in hu.raw_path and hu.raw_query != "":
+            if parse_url(base_full) is None:
+                return None
+            return _address_from_parts(hu)
     if parse_url(href) is None:
         return None
     if parse_url(base_full) is None:

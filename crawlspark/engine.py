@@ -250,6 +250,14 @@ def _parse_map(check_payload: bool, blocked_counter=None):
     return fn
 
 
+def _apply_parse_stage(df, check_payload: bool, blocked_counter=None):
+    """Apply the fetch+parse stage to a joined frame — the single
+    site that binds _parse_map to the execution mode, shared by the
+    engine and scripts/parse_stage_bench.py so probe numbers measure
+    exactly the production stage."""
+    return df.mapInPandas(_parse_map(check_payload, blocked_counter), RESULT_FULL_SCHEMA)
+
+
 class SparkCrawler:
     """Distributed reimplementation of the reference crawler
     (see module docstring). ``pages_df``/``robots_df`` replace the
@@ -652,9 +660,7 @@ class SparkCrawler:
                 return pdf
 
             joined = joined.groupBy("host").applyInPandas(pace, joined.schema)
-        return joined.mapInPandas(
-            _parse_map(self.check_payload, blocked_counter), RESULT_FULL_SCHEMA
-        )
+        return _apply_parse_stage(joined, self.check_payload, blocked_counter)
 
     def _candidates(self, parsed_results: DataFrame) -> DataFrame:
         r = parsed_results

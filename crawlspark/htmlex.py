@@ -473,6 +473,24 @@ _A_HREF_REL = _re.compile(
 # the gap, a different tag, a close tag) breaks the run unconsumed.
 _A_RUN = _re.compile(r"([^<&]*)" + _A_FULL.pattern)
 
+# r10: the dominant whole-anchor shape fused into ONE pattern — the
+# href [rel] attr pair (value classes IDENTICAL to _ATTR_GRAMMAR /
+# _A_HREF_REL, so matching here is a strict subset of _A_FULL
+# followed by a successful _A_HREF_REL on the same araw span), plus
+# the optional plain-text tail + close tag. One C-level match per
+# dominant anchor instead of two. Self-closing or tail-less matches
+# are NOT handled here — the caller falls through to the general
+# _A_FULL path for those (rewind semantics live in one place).
+# Groups: 1-3 href alts, 4-6 rel alts, 7 selfclose, 8 tail.
+_A_FAST = _re.compile(
+    r"<[aA]\s+href\s*=\s*(?:\"([^\"<]*)\"|'([^'<]*)'|([^\s>'\"<`=]+))"
+    r"(?:\s+rel\s*=\s*(?:\"([^\"<]*)\"|'([^'<]*)'|([^\s>'\"<`=]+)))?"
+    r"\s*(/?)>(?:([^<]*)</[aA]\s*>)?"
+)
+# Sibling-run variant: plain gap text (no '<'/'&') + the fused shape.
+# Groups shift by one (1 = lead text).
+_A_RUN_FAST = _re.compile(r"([^<&]*)" + _A_FAST.pattern)
+
 
 def _anchor_attrs_walk(araw: str) -> tuple[str | None, str | None]:
     """(href, rel) of an anchor attr string that the _A_HREF_REL fast
@@ -549,6 +567,68 @@ def _fast_extract(s: str) -> dict:
         nxt = s[lt + 1] if lt + 1 < n else ""
         if nxt.isalpha():
             if nxt == "a" or nxt == "A":
+                # r10 fused fast shape: href [rel] + plain tail + close
+                # tag, one match. Anything else (other attrs,
+                # self-closing, nested content) falls through to the
+                # general _A_FULL path below unchanged.
+                fm = _A_FAST.match(s, lt)
+                if fm is not None:
+                    g = fm.groups()
+                    if g[7] is not None and not g[6]:
+                        a_href = g[0] if g[0] is not None else (
+                            g[1] if g[1] is not None else g[2])
+                        a_rel = g[3] if g[3] is not None else (
+                            g[4] if g[4] is not None else g[5])
+                        if "&" in a_href:
+                            a_href = _unescape(a_href)
+                        if a_rel is not None and "&" in a_rel:
+                            a_rel = _unescape(a_rel)
+                        new_sink = []
+                        links.append(
+                            (a_href or "", new_sink, (a_rel or "") == "nofollow")
+                        )
+                        i = fm.end()
+                        tail = g[7]
+                        if tail:
+                            seg = _unescape(tail) if "&" in tail else tail
+                            all_parts.append(seg)
+                            for sk in sinks:
+                                sk.append(seg)
+                            new_sink.append(seg)
+                        while True:
+                            rm = _A_RUN_FAST.match(s, i)
+                            if rm is None:
+                                break
+                            rg = rm.groups()
+                            if rg[8] is None or rg[7]:
+                                break  # outer dispatch reprocesses from i
+                            lead = rg[0]
+                            if lead:
+                                all_parts.append(lead)
+                                for sk in sinks:
+                                    sk.append(lead)
+                            a_href = rg[1] if rg[1] is not None else (
+                                rg[2] if rg[2] is not None else rg[3])
+                            a_rel = rg[4] if rg[4] is not None else (
+                                rg[5] if rg[5] is not None else rg[6])
+                            if "&" in a_href:
+                                a_href = _unescape(a_href)
+                            if a_rel is not None and "&" in a_rel:
+                                a_rel = _unescape(a_rel)
+                            new_sink = []
+                            rtail = rg[8]
+                            if rtail:
+                                seg = _unescape(rtail) if "&" in rtail else rtail
+                                all_parts.append(seg)
+                                for sk in sinks:
+                                    sk.append(seg)
+                                new_sink.append(seg)
+                            links.append(
+                                (a_href or "", new_sink,
+                                 (a_rel or "") == "nofollow")
+                            )
+                            i = rm.end()
+                        continue
                 # whole-anchor fusion: start tag (+ plain-text content
                 # + close tag when simple) consumed in ONE regex match
                 m = _A_FULL.match(s, lt)

@@ -155,3 +155,78 @@ def test_resolve_trailing_question_mark_go_parity():
     # python's urljoin drops it. The fast path matches Go.
     a = canon.resolve_address("http://h.test/a", "/x?")
     assert a["Full"] == "http://h.test/x?"
+
+
+def _parts_tuple(u):
+    if u is None:
+        return None
+    return (u.scheme, u.opaque, u.host, u.raw_path, u.raw_query, u.fragment)
+
+
+def test_parse_url_fast_path_equivalence():
+    """r10: parse_url's plain-absolute fast shape must equal the
+    general parser FIELD-BY-FIELD — on shapes inside the fast charset
+    and on every boundary that must fall through (escapes, ctrl chars
+    incl \\x7f, userinfo, uppercase scheme, unicode hosts, empty
+    host, opaque, relative)."""
+    import random
+
+    corpus = [
+        "http://h.test/a/b", "https://h.test:8080/", "http://h.test",
+        "http://h.test/", "http://h.test/p?q=1", "http://h.test/p#f",
+        "http://h.test/p?a=1&b=2#sec", "http://h.test/p?a#b#c",
+        "http://h.test/p?a?b", "http://h.test/p#f?q", "http://h.test/#",
+        "http://h.test/?", "http://h.test/p%20x", "http://h.test/p%zz",
+        "http://h.test/\x7fp", "http://h.test/\x01p", "http://h.test/p q",
+        "http://user@h.test/p", "HTTP://h.test/p", "hTtPs://h.test/p",
+        "http:///p", "http://", "ftp://h.test/p", "mailto:user@h.test",
+        "//proto-rel.test/p", "/just/a/path", "rel/path", "",
+        "http://bü.test/p", "http://h.test/pü", "http://h.test:80/p",
+        "http://h.test/a!$&'()*+,;=:@b", "http://h.test/a<b>\"c",
+        "http://h.test/p#", "http://h.test/p#%20", "http://h.test/p?%zz",
+    ]
+    rng = random.Random(20260822)
+    alphabet = "ab.:/?#%20\x7f \tZü-_~!@&="
+    for _ in range(4000):
+        n = rng.randrange(0, 24)
+        s = "".join(rng.choice(alphabet) for _ in range(n))
+        corpus.append(rng.choice(["http://", "https://", "HTTP://", ""]) + s)
+    for raw in corpus:
+        fast = canon.parse_url(raw)
+        slow = canon._parse_url_general(raw)
+        assert _parts_tuple(fast) == _parts_tuple(slow), (
+            raw, _parts_tuple(fast), _parts_tuple(slow))
+
+
+def test_resolve_absolute_href_fast_path_equivalence():
+    """r10: resolve_address's absolute-http(s)-href shortcut must
+    equal the urljoin general path byte-for-byte, and boundary shapes
+    (dot segments, empty host, escapes, uppercase scheme) must fall
+    through to it unchanged."""
+    from urllib.parse import urljoin as uj
+
+    bases = [
+        "http://h.test/a/b?q=1",
+        "https://h.test:8080/",
+        "http://bench-0001.test/3.1",
+        "not a url",
+    ]
+    hrefs = [
+        "http://www.example.com/c", "http://other.test", "https://o.test/",
+        "http://o.test/p?a=1&b=2", "http://o.test/p#sec", "http://o.test/p?",
+        "http://o.test/p%20x", "http://o.test/./p", "http://o.test/a/../b",
+        "http://o.test/p/.", "http://o.test/p/..", "HTTP://o.test/p",
+        "http:///nohost", "http://o.test/p q", "http://user@o.test/p",
+        "http://o.test/p?q#f", "http://o.test/a!$&'()*+,;=:@b",
+        "http://o.test?q=1", "http://o.test#f", "http://o.test/p#",
+    ]
+    for b in bases:
+        for h in hrefs:
+            got = canon.resolve_address(b, h)
+            # reference: the general branch, replicated verbatim
+            if canon.parse_url(h) is None or canon.parse_url(b) is None:
+                want = None
+            else:
+                u = canon.parse_url(uj(b, h))
+                want = None if u is None else canon._address_from_parts(u)
+            assert got == want, (b, h, got, want)
