@@ -263,12 +263,12 @@ def _address_from_parts(u: URLParts) -> dict:
 _PLAIN_ABS_RE = re.compile(r"^/[A-Za-z0-9._~!$&'()*+,;=:@/\-]*$")
 
 
-def make_resolver(base_full: str):
-    """Per-page resolver that parses the base ONCE and reuses it for
-    every link/canonical/hreflang on the page (50+ resolutions per
-    page in link-dense corpora — the hydration hot path). Plain
-    path-absolute hrefs skip URL parsing entirely (string-concat
-    Address; r05, VERDICT r04 #3)."""
+def make_resolver_parts(base_full: str):
+    """Tuple-returning core of :func:`make_resolver` (r10): resolves
+    ``href`` to ``(Full, Scheme, Opaque, Host, Path, Query)`` or None,
+    parsing the base ONCE. The columnar parse path consumes the tuple
+    directly (no per-link dict build); ``make_resolver`` wraps it, so
+    the two can never diverge."""
     bu = parse_url(base_full) if base_full is not None else None
     fast_ok = bu is not None and bu.scheme and bu.host
     origin = (bu.scheme + "://" + bu.host) if fast_ok else None
@@ -276,27 +276,49 @@ def make_resolver(base_full: str):
     bhost = bu.host if bu is not None else None
     plain = _PLAIN_ABS_RE.match
 
-    def resolve(href: str) -> dict | None:
+    def resolve(href: str) -> tuple | None:
         if bu is None or href is None:
             return None
         if href.startswith("/") and not href.startswith("//") and "/." not in href:
             if fast_ok and plain(href):
-                return {
-                    "Full": origin + href,
-                    "Scheme": bscheme,
-                    "Opaque": "",
-                    "Host": bhost,
-                    "Path": href,
-                    "Query": "",
-                }
+                return (origin + href, bscheme, "", bhost, href, "")
             hu = parse_url(href)
             if hu is None:
                 return None
             if not bu.scheme or not bu.host:
                 return None
             hu.scheme, hu.opaque, hu.host = bu.scheme, "", bu.host
-            return _address_from_parts(hu)
-        return resolve_address(base_full, href)
+            a = _address_from_parts(hu)
+            return (a["Full"], a["Scheme"], a["Opaque"], a["Host"], a["Path"], a["Query"])
+        a = resolve_address(base_full, href)
+        if a is None:
+            return None
+        return (a["Full"], a["Scheme"], a["Opaque"], a["Host"], a["Path"], a["Query"])
+
+    return resolve
+
+
+def make_resolver(base_full: str):
+    """Per-page resolver that parses the base ONCE and reuses it for
+    every link/canonical/hreflang on the page (50+ resolutions per
+    page in link-dense corpora — the hydration hot path). Plain
+    path-absolute hrefs skip URL parsing entirely (string-concat
+    Address; r05, VERDICT r04 #3). Thin dict view over
+    :func:`make_resolver_parts`."""
+    rp = make_resolver_parts(base_full)
+
+    def resolve(href: str) -> dict | None:
+        t = rp(href)
+        if t is None:
+            return None
+        return {
+            "Full": t[0],
+            "Scheme": t[1],
+            "Opaque": t[2],
+            "Host": t[3],
+            "Path": t[4],
+            "Query": t[5],
+        }
 
     return resolve
 

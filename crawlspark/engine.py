@@ -250,12 +250,348 @@ def _parse_map(check_payload: bool, blocked_counter=None):
     return fn
 
 
+class _AddrCols:
+    """Flat column builder for an Address struct (r10 columnar parse):
+    six value lists + a null mask, filled either from a resolver
+    tuple (make_resolver_parts order) or a make_address dict."""
+
+    __slots__ = ("full", "scheme", "opaque", "host", "path", "query", "mask")
+
+    def __init__(self):
+        self.full = []
+        self.scheme = []
+        self.opaque = []
+        self.host = []
+        self.path = []
+        self.query = []
+        self.mask = []
+
+    def add_none(self):
+        self.mask.append(True)
+        self.full.append(None)
+        self.scheme.append(None)
+        self.opaque.append(None)
+        self.host.append(None)
+        self.path.append(None)
+        self.query.append(None)
+
+    def add_parts(self, t):
+        if t is None:
+            self.add_none()
+            return
+        self.mask.append(False)
+        self.full.append(t[0])
+        self.scheme.append(t[1])
+        self.opaque.append(t[2])
+        self.host.append(t[3])
+        self.path.append(t[4])
+        self.query.append(t[5])
+
+    def add_dict(self, a):
+        if a is None:
+            self.add_none()
+            return
+        self.mask.append(False)
+        self.full.append(a["Full"])
+        self.scheme.append(a["Scheme"])
+        self.opaque.append(a["Opaque"])
+        self.host.append(a["Host"])
+        self.path.append(a["Path"])
+        self.query.append(a["Query"])
+
+    def array(self, pa, typ):
+        s = pa.string()
+        return pa.StructArray.from_arrays(
+            [
+                pa.array(self.full, s),
+                pa.array(self.scheme, s),
+                pa.array(self.opaque, s),
+                pa.array(self.host, s),
+                pa.array(self.path, s),
+                pa.array(self.query, s),
+            ],
+            fields=list(typ),
+            mask=pa.array(self.mask, pa.bool_()),
+        )
+
+
+# every input column the parse stage reads — _apply_parse_stage
+# projects to these before the Python boundary (guide §4.1: Spark
+# cannot prune columns into an opaque map function, so fetch_key /
+# host / _req_headers would otherwise cross it for nothing)
+_PARSE_INPUT_COLS = frozenset(
+    (
+        "url_key", "fetch_url", "depth", "priority", "_allowed", "url",
+        "status", "status_code", "proto", "proto_major", "proto_minor",
+        "content_type", "location", "headers", "html",
+        "image_id", "image_bytes", "fmt", "caption", "img_w", "img_h", "phash",
+    )
+)
+
+
+def _parse_map_arrow(check_payload: bool, blocked_counter=None):
+    """Columnar twin of :func:`_parse_map` (r10, guide §4.2): the same
+    per-row decisions through the same parity primitives
+    (canon.make_address, canon.make_resolver_parts,
+    htmlex.extract_html, oracle._sorted_header_pairs,
+    canon.resolve_address, oracle's blocked shape), but the output
+    RecordBatch is assembled from FLAT column lists — no per-row
+    Result/Link/Address dicts and no nested-dict -> Arrow conversion
+    (measured ~50 us/row of the bench parse). Output is pinned
+    row-identical to _parse_map by
+    tests/test_engine.py::test_parse_map_arrow_differential."""
+
+    def fn(batches):
+        import pyarrow as pa
+        from pyspark.sql.pandas.types import to_arrow_type
+
+        from . import htmlex, imagecodec
+
+        schema = pa.schema(
+            [pa.field(f.name, to_arrow_type(f.dataType)) for f in RESULT_FULL_SCHEMA.fields]
+        )
+        t_addr = schema.field("Address").type
+        t_canon = schema.field("Canonical").type
+        t_link = schema.field("Links").type.value_type
+        t_hl = schema.field("Hreflang").type.value_type
+        t_pair = schema.field("Header").type.value_type
+        t_payload = schema.field("Payload").type
+        i32, i64, s_t = pa.int32(), pa.int64(), pa.string()
+        make_address = canon.make_address
+        make_resolver_parts = canon.make_resolver_parts
+        sorted_pairs = oracle._sorted_header_pairs
+        extract_html = htmlex.extract_html
+
+        for rb in batches:
+            idx = {n: j for j, n in enumerate(rb.schema.names)}
+            col = lambda nm: rb.column(idx[nm]).to_pylist()  # noqa: E731
+            has_img = "image_bytes" in idx
+            has_gate = "_allowed" in idx
+            fetch_url_c = col("fetch_url")
+            depth_c = col("depth")
+            prio_c = col("priority")
+            key_c = col("url_key")
+            status_c = col("status")
+            sc_c = col("status_code")
+            proto_c = col("proto")
+            pmaj_c = col("proto_major")
+            pmin_c = col("proto_minor")
+            ct_c = col("content_type")
+            html_c = col("html")
+            loc_c = col("location")
+            headers_c = col("headers")
+            allowed_c = col("_allowed") if has_gate else None
+            url_c = col("url") if has_gate else None
+            if has_img:
+                img_id_c = col("image_id")
+                img_b_c = col("image_bytes")
+                fmt_c = col("fmt")
+                cap_c = col("caption")
+                imw_c = col("img_w")
+                imh_c = col("img_h")
+                ph_c = col("phash")
+
+            n_blocked = 0
+            addr_b = _AddrCols()
+            resolves_b = _AddrCols()
+            depth_o = []; bodyhash_o = []; desc_o = []; title_o = []; h1_o = []
+            robots_o = []; status_o = []; sc_o = []; proto_o = []
+            pmaj_o = []; pmin_o = []; prio_o = []; key_o = []
+            canon_b = _AddrCols(); canon_href = []; canon_mask = []
+            link_addr_b = _AddrCols(); link_anchor = []; link_href = []; link_nf = []
+            link_off = []; link_cur = 0
+            hl_addr_b = _AddrCols(); hl_href = []; hl_lang = []
+            hl_off = []; hl_cur = 0
+            hdr_k = []; hdr_v = []; hdr_off = []; hdr_cur = 0
+            pay_mask = []; pay_id = []; pay_cap = []; pay_fmt = []
+            pay_w = []; pay_h = []; pay_ph = []; pay_psnr = []; pay_ok = []
+
+            for i in range(rb.num_rows):
+                if has_gate:
+                    if not allowed_c[i]:
+                        # oracle.blocked_result shape (state.go:58-61)
+                        addr_b.add_dict(make_address(fetch_url_c[i]))
+                        depth_o.append(depth_c[i])
+                        bodyhash_o.append(None)
+                        desc_o.append(""); title_o.append(""); h1_o.append("")
+                        robots_o.append("")
+                        canon_mask.append(True); canon_b.add_none(); canon_href.append(None)
+                        link_off.append(None)
+                        hl_off.append(None)
+                        status_o.append("Blocked by robots.txt")
+                        sc_o.append(None); proto_o.append(None)
+                        pmaj_o.append(None); pmin_o.append(None)
+                        hdr_off.append(None)
+                        resolves_b.add_none()
+                        prio_o.append(prio_c[i]); key_o.append(key_c[i])
+                        pay_mask.append(True); pay_id.append(None); pay_cap.append(None)
+                        pay_fmt.append(None); pay_w.append(None); pay_h.append(None)
+                        pay_ph.append(None); pay_psnr.append(None); pay_ok.append(None)
+                        n_blocked += 1
+                        continue
+                    if url_c[i] is None:  # LEFT-join miss: no page -> fetch error, silent drop
+                        continue
+                addr = make_address(fetch_url_c[i])
+                base_full = addr["Full"] if addr else None
+                addr_b.add_dict(addr)
+                depth_o.append(depth_c[i])
+                status_o.append(status_c[i])
+                sc0 = sc_c[i]
+                sc_o.append(sc0 or None)
+                proto_o.append(proto_c[i])
+                pmaj_o.append(pmaj_c[i]); pmin_o.append(pmin_c[i])
+                pairs = sorted_pairs(headers_c[i])
+                hdr_off.append(hdr_cur)
+                for k, v in pairs:
+                    hdr_k.append(k)
+                    hdr_v.append(v)
+                hdr_cur += len(pairs)
+                ct = ct_c[i] or ""
+                html = html_c[i]
+                if ct.startswith("text/html") and html:
+                    resolve = make_resolver_parts(base_full)
+                    ex = extract_html(html)
+                    title_o.append(ex["Title"]); h1_o.append(ex["H1"])
+                    desc_o.append(ex["Description"]); robots_o.append(ex["Robots"])
+                    bodyhash_o.append(ex["BodyTextHash"])
+                    canon_mask.append(False)
+                    canon_b.add_parts(resolve(ex["CanonicalHref"]))
+                    canon_href.append(ex["CanonicalHref"])
+                    hl = ex["Hreflang"]
+                    if hl:
+                        hl_off.append(hl_cur)
+                        for href, lang in hl:
+                            hl_addr_b.add_parts(resolve(href))
+                            hl_href.append(href)
+                            hl_lang.append(lang)
+                        hl_cur += len(hl)
+                    else:
+                        hl_off.append(None)  # [] -> None, result.go omitempty parity
+                    lk = ex["Links"]
+                    if lk:
+                        link_off.append(link_cur)
+                        for href, anchor, nofollow in lk:
+                            link_addr_b.add_parts(resolve(href))
+                            link_anchor.append(anchor)
+                            link_href.append(href)
+                            link_nf.append(nofollow)
+                        link_cur += len(lk)
+                    else:
+                        link_off.append(None)
+                else:
+                    title_o.append(""); h1_o.append(""); desc_o.append("")
+                    robots_o.append("")
+                    bodyhash_o.append(None)
+                    canon_mask.append(True); canon_b.add_none(); canon_href.append(None)
+                    hl_off.append(None)
+                    link_off.append(None)
+                if sc0 and 300 <= sc0 < 400:
+                    resolves_b.add_dict(canon.resolve_address(base_full, loc_c[i] or ""))
+                else:
+                    resolves_b.add_dict(addr)
+                prio_o.append(prio_c[i]); key_o.append(key_c[i])
+                if has_img and img_id_c[i] is not None and img_b_c[i] is not None:
+                    psnr_v, ok = None, None
+                    if check_payload:
+                        try:
+                            dec = imagecodec.decode(img_b_c[i], fmt_c[i])
+                            truth = imagecodec.synth_image(
+                                img_id_c[i], int(imw_c[i]), int(imh_c[i])
+                            )
+                            psnr_v = imagecodec.psnr(truth, dec)
+                            ok = bool(psnr_v >= 40.0)
+                        except NotImplementedError:
+                            psnr_v, ok = None, None
+                    pay_mask.append(False)
+                    pay_id.append(img_id_c[i]); pay_cap.append(cap_c[i])
+                    pay_fmt.append(fmt_c[i])
+                    pay_w.append(int(imw_c[i])); pay_h.append(int(imh_c[i]))
+                    pay_ph.append(int(ph_c[i]) if ph_c[i] is not None else None)
+                    pay_psnr.append(psnr_v); pay_ok.append(ok)
+                else:
+                    pay_mask.append(True); pay_id.append(None); pay_cap.append(None)
+                    pay_fmt.append(None); pay_w.append(None); pay_h.append(None)
+                    pay_ph.append(None); pay_psnr.append(None); pay_ok.append(None)
+
+            if blocked_counter is not None and n_blocked:
+                blocked_counter.add(n_blocked)
+
+            link_off.append(link_cur)
+            hl_off.append(hl_cur)
+            hdr_off.append(hdr_cur)
+            link_struct = pa.StructArray.from_arrays(
+                [
+                    link_addr_b.array(pa, t_link.field("Address").type),
+                    pa.array(link_anchor, s_t),
+                    pa.array(link_href, s_t),
+                    pa.array(link_nf, pa.bool_()),
+                ],
+                fields=list(t_link),
+            )
+            hl_struct = pa.StructArray.from_arrays(
+                [
+                    hl_addr_b.array(pa, t_hl.field("Address").type),
+                    pa.array(hl_href, s_t),
+                    pa.array(hl_lang, s_t),
+                ],
+                fields=list(t_hl),
+            )
+            pair_struct = pa.StructArray.from_arrays(
+                [pa.array(hdr_k, s_t), pa.array(hdr_v, s_t)], fields=list(t_pair)
+            )
+            canon_arr = pa.StructArray.from_arrays(
+                [canon_b.array(pa, t_canon.field("Address").type), pa.array(canon_href, s_t)],
+                fields=list(t_canon),
+                mask=pa.array(canon_mask, pa.bool_()),
+            )
+            payload_arr = pa.StructArray.from_arrays(
+                [
+                    pa.array(pay_id, s_t), pa.array(pay_cap, s_t), pa.array(pay_fmt, s_t),
+                    pa.array(pay_w, i32), pa.array(pay_h, i32), pa.array(pay_ph, i64),
+                    pa.array(pay_psnr, pa.float64()), pa.array(pay_ok, pa.bool_()),
+                ],
+                fields=list(t_payload),
+                mask=pa.array(pay_mask, pa.bool_()),
+            )
+            yield pa.RecordBatch.from_arrays(
+                [
+                    addr_b.array(pa, t_addr),
+                    pa.array(depth_o, i64),
+                    pa.array(bodyhash_o, s_t),
+                    pa.array(desc_o, s_t),
+                    pa.array(title_o, s_t),
+                    pa.array(h1_o, s_t),
+                    pa.array(robots_o, s_t),
+                    canon_arr,
+                    pa.ListArray.from_arrays(pa.array(link_off, i32), link_struct),
+                    pa.ListArray.from_arrays(pa.array(hl_off, i32), hl_struct),
+                    pa.array(status_o, s_t),
+                    pa.array(sc_o, i64),
+                    pa.array(proto_o, s_t),
+                    pa.array(pmaj_o, i64),
+                    pa.array(pmin_o, i64),
+                    pa.ListArray.from_arrays(pa.array(hdr_off, i32), pair_struct),
+                    resolves_b.array(pa, t_addr),
+                    pa.array(prio_o, i32),
+                    pa.array(key_o, s_t),
+                    payload_arr,
+                ],
+                schema=schema,
+            )
+
+    return fn
+
+
 def _apply_parse_stage(df, check_payload: bool, blocked_counter=None):
     """Apply the fetch+parse stage to a joined frame — the single
     site that binds _parse_map to the execution mode, shared by the
     engine and scripts/parse_stage_bench.py so probe numbers measure
-    exactly the production stage."""
-    return df.mapInPandas(_parse_map(check_payload, blocked_counter), RESULT_FULL_SCHEMA)
+    exactly the production stage. r10: columnar mapInArrow
+    (_parse_map_arrow), projected to the columns the parse reads."""
+    keep = [c for c in df.columns if c in _PARSE_INPUT_COLS]
+    return df.select(*keep).mapInArrow(
+        _parse_map_arrow(check_payload, blocked_counter), RESULT_FULL_SCHEMA
+    )
 
 
 class SparkCrawler:

@@ -47,13 +47,20 @@ def fetch_key(queue_url: str) -> str:
     return canon.serialize(u, with_fragment=False)
 
 
-def _sorted_headers(headers) -> list:
+def _sorted_header_pairs(headers) -> list:
+    """Tuple core of :func:`_sorted_headers` (r10): K-sorted
+    ``(K, V)`` pairs — the columnar parse path appends these flat."""
     # accepts list/tuple/ndarray (Arrow passthrough) or None — no `or`
     # (ndarray truthiness raises)
     if headers is None or len(headers) == 0:
         return []
-    hs = [{"K": h["K"], "V": h["V"]} for h in headers]
-    return sorted(hs, key=lambda p: p["K"])
+    hs = [(h["K"], h["V"]) for h in headers]
+    hs.sort(key=lambda p: p[0])  # K only — stable on ties, like the dict path always was
+    return hs
+
+
+def _sorted_headers(headers) -> list:
+    return [{"K": k, "V": v} for k, v in _sorted_header_pairs(headers)]
 
 
 def blocked_result(url_key: str, depth: int) -> dict:

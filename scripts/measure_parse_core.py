@@ -49,7 +49,7 @@ def main():
     spark.sparkContext.setLogLevel("ERROR")
 
     acc = spark.sparkContext.accumulator(0.0)
-    orig = E._parse_map
+    orig = E._parse_map_arrow  # r10: the production parse is the columnar map
 
     def timed_parse_map(check_payload, blocked_counter=None):
         inner = orig(check_payload, blocked_counter)
@@ -63,7 +63,7 @@ def main():
 
         return fn
 
-    E._parse_map = timed_parse_map
+    E._parse_map_arrow = timed_parse_map
 
     web_dir = os.path.join(
         tempfile.gettempdir(), f"crawlscale-web-{N_HOSTS}-{BRANCHING}-1-{HOT}"

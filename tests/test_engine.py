@@ -1457,3 +1457,129 @@ def test_deferred_subwave_fetch_join_broadcasts_slice(spark, tmp_path):
     assert sorted(map(key, inner.collect())) == sorted(map(key, left.collect()))
     # 4 real pages parsed; the page-miss row dropped by both shapes
     assert inner.count() == 4
+
+
+def test_parse_map_arrow_differential():
+    """r10: the columnar parse (_parse_map_arrow) must be row-identical
+    to the dict-path _parse_map on an adversarial batch — blocked rows,
+    LEFT-join misses, non-html, 404, redirects (with and without
+    Location), empty/None headers, link-less html, image payloads
+    (valid decode, decode-error fmt, missing bytes, null phash) — with
+    check_payload on AND off, with and without the image columns, and
+    on zero-row / all-dropped batches."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    from pyspark.sql.pandas.types import to_arrow_type
+
+    from crawlspark import imagecodec
+    from crawlspark.engine import (
+        RESULT_FULL_SCHEMA,
+        _parse_map,
+        _parse_map_arrow,
+    )
+
+    def mk(host, pid, *, allowed=True, miss=False, img=None, **kw):
+        r = testkit.page_row(host, pid, **kw)
+        url = r["url"]
+        r["fetch_url"] = url
+        r["url_key"] = url
+        r["depth"] = 1
+        r["priority"] = 2
+        r["_allowed"] = allowed
+        if not allowed or miss:
+            r["url"] = None  # blocked rows never match a page row
+            for k in ("status", "status_code", "proto", "proto_major",
+                      "proto_minor", "content_type", "location", "headers", "html"):
+                r[k] = None
+        r["image_id"] = r["image_bytes"] = r["fmt"] = r["caption"] = None
+        r["img_w"] = r["img_h"] = r["phash"] = None
+        if img is not None:
+            r.update(img)
+        return r
+
+    png = imagecodec.encode(imagecodec.synth_image("h/x", 8, 6), "png")
+    rows = [
+        mk("a.test", "0", branching=3),
+        mk("a.test", "1", allowed=False),
+        mk("a.test", "2", miss=True),
+        mk("a.test", "3", content_type="text/plain"),
+        mk("a.test", "4", status_code=404),
+        mk("a.test", "5", status_code=301, location="http://a.test/0"),
+        mk("a.test", "6", status_code=302, location=None),
+        mk("a.test", "7", branching=0),
+        mk("a.test", "8", branching=1),
+        mk("a.test", "9", branching=2, img={
+            "image_id": "h/x", "image_bytes": png, "fmt": "png",
+            "caption": "cap", "img_w": 8, "img_h": 6, "phash": 12345}),
+        # phash stays non-null on every bytes-carrying row: a null
+        # there reaches the dict path as pandas NaN and production
+        # images tables always carry it
+        mk("a.test", "10", branching=1, img={
+            "image_id": "h/y", "image_bytes": b"\x00bad", "fmt": "bmp",
+            "caption": None, "img_w": 4, "img_h": 4, "phash": 3}),
+        mk("a.test", "11", branching=1, img={
+            "image_id": "h/z", "image_bytes": None, "fmt": "png",
+            "caption": "c", "img_w": 4, "img_h": 4, "phash": 7}),
+    ]
+    # a page with no headers at all and one with an empty header list
+    rows.append(mk("a.test", "12", branching=1))
+    rows[-1]["headers"] = None
+    rows.append(mk("a.test", "13", branching=1))
+    rows[-1]["headers"] = []
+
+    arrow_out = pa.schema(
+        [pa.field(f.name, to_arrow_type(f.dataType)) for f in RESULT_FULL_SCHEMA.fields]
+    )
+
+    def run_both(rows, check_payload, with_img_cols):
+        cols = ["url_key", "fetch_url", "depth", "priority", "_allowed", "url",
+                "status", "status_code", "proto", "proto_major", "proto_minor",
+                "content_type", "location", "headers", "html"]
+        if with_img_cols:
+            cols += ["image_id", "image_bytes", "fmt", "caption",
+                     "img_w", "img_h", "phash"]
+        pdf = pd.DataFrame({c: [r[c] for r in rows] for c in cols})
+        out_pdfs = list(_parse_map(check_payload, None)(iter([pdf])))
+        assert len(out_pdfs) == 1
+        # NaN -> null like Spark's pandas->Arrow serializer; typed
+        # empties for the zero-row case (empty pandas cols are float64)
+        expect_arrs = [
+            pa.array([], type=f.type) if len(out_pdfs[0]) == 0
+            else pa.Array.from_pandas(out_pdfs[0][f.name], type=f.type)
+            for f in arrow_out
+        ]
+        expected = pa.RecordBatch.from_arrays(expect_arrs, schema=arrow_out).to_pylist()
+
+        pa_types = {
+            "depth": pa.int64(), "priority": pa.int32(), "_allowed": pa.bool_(),
+            "status_code": pa.int64(), "proto_major": pa.int64(),
+            "proto_minor": pa.int64(),
+            "headers": pa.list_(pa.struct([("K", pa.string()), ("V", pa.string())])),
+            "image_bytes": pa.binary(), "img_w": pa.int32(), "img_h": pa.int32(),
+            "phash": pa.int64(),
+        }
+        in_arrs = [
+            pa.array([r[c] for r in rows], type=pa_types.get(c, pa.string()))
+            for c in cols
+        ]
+        rb = pa.RecordBatch.from_arrays(in_arrs, names=cols)
+        got_batches = list(_parse_map_arrow(check_payload, None)(iter([rb])))
+        assert len(got_batches) == 1
+        got = got_batches[0].to_pylist()
+        assert got == expected, (check_payload, with_img_cols)
+        return got
+
+    got = run_both(rows, check_payload=True, with_img_cols=True)
+    assert len(got) == len(rows) - 1  # exactly the LEFT-miss row dropped
+    # the valid-png payload actually verified
+    pay = {g["UrlKey"]: g["Payload"] for g in got}
+    p = pay["http://a.test/9"]
+    assert p["PixelsOk"] is True and p["Psnr"] is not None
+    assert pay["http://a.test/10"]["Psnr"] is None  # decode-error fmt
+    assert pay["http://a.test/11"] is None  # bytes missing -> no payload
+
+    run_both(rows, check_payload=False, with_img_cols=True)
+    run_both([r for r in rows if r["image_bytes"] is None], False, False)
+    run_both([], check_payload=False, with_img_cols=False)  # zero-row batch
+    run_both([mk("a.test", "drop", miss=True)], False, False)  # all dropped
