@@ -228,6 +228,17 @@ def _seed_for(image_id: str) -> int:
     return zlib.crc32(image_id.encode("utf-8")) & 0xFFFFFFFF
 
 
+# r10 perf (bit-identical by construction, pinned by the committed
+# image ground-truth fixtures): the base pattern is a pure function of
+# ((seed>>8)%4, w, h) — cache it instead of rebuilding per image; and
+# reuse ONE RandomState re-seeded per call, because `rs.seed(n)` is
+# the documented legacy seeding that RandomState(n) itself performs
+# (identical stream, asserted in tests) while skipping the
+# constructor's discarded SeedSequence init (~140 us -> ~4 us).
+_BASE_CACHE: dict = {}
+_SYNTH_RNG = np.random.RandomState(0)
+
+
 def synth_image(image_id: str, w: int = 32, h: int = 32) -> np.ndarray:
     """Deterministic synthetic RGB image: one of four seed-keyed base
     patterns (gradient / stripes / checkerboard / radial) + seeded
@@ -237,9 +248,19 @@ def synth_image(image_id: str, w: int = 32, h: int = 32) -> np.ndarray:
     instead of one all-pairs cluster (VERDICT r01: the 8-image fixture
     was entirely within hamming 3)."""
     seed = _seed_for(image_id)
-    rng = np.random.RandomState(seed)
-    yy, xx = np.mgrid[0:h, 0:w]
     pat = (seed >> 8) % 4
+    base = _BASE_CACHE.get((pat, w, h))
+    if base is None:
+        base = _synth_base(pat, w, h)
+        _BASE_CACHE[(pat, w, h)] = base
+    rng = _SYNTH_RNG
+    rng.seed(seed)
+    noise = rng.randint(-16, 17, size=(h, w, 3))
+    return (base + noise).clip(0, 255).astype(np.uint8)
+
+
+def _synth_base(pat: int, w: int, h: int) -> np.ndarray:
+    yy, xx = np.mgrid[0:h, 0:w]
     if pat == 0:  # diagonal gradient
         base = np.stack(
             [
@@ -262,8 +283,7 @@ def synth_image(image_id: str, w: int = 32, h: int = 32) -> np.ndarray:
         r = np.sqrt((yy - cy) ** 2 + (xx - cx) ** 2)
         rad = (r * 255 / max(r.max(), 1)).astype(np.int32)
         base = np.stack([rad, 255 - rad, (rad + 128) % 256], axis=2).astype(np.int32)
-    noise = rng.randint(-16, 17, size=(h, w, 3))
-    return (base + noise).clip(0, 255).astype(np.uint8)
+    return base
 
 
 _CAPTION_WORDS = (

@@ -724,3 +724,29 @@ def test_anchor_attrs_walk_tiling_falls_back_loudly():
             htmlex._anchor_attrs_walk(' href="/a"')
     finally:
         htmlex._TAG_ATTR = orig
+
+
+def test_synth_image_cached_base_and_reseed_bit_identical():
+    """r10: synth_image caches the (pat, w, h) base and re-seeds one
+    shared RandomState; both must be bit-identical to the original
+    per-call construction — RandomState(n) and rs.seed(n) are the
+    same documented legacy seeding, asserted here directly, and the
+    full image is compared against a fresh-constructed recompute."""
+    import numpy as np
+
+    from crawlspark import imagecodec as ic
+
+    for seed in (0, 1, 42, 0xFFFFFFFF, 123456789):
+        a = np.random.RandomState(seed).randint(-16, 17, size=(16, 16, 3))
+        ic._SYNTH_RNG.seed(seed)
+        b = ic._SYNTH_RNG.randint(-16, 17, size=(16, 16, 3))
+        assert (a == b).all()
+
+    for image_id in ("h/x", "bench-0001.test/7.42", "weird id", "a/0"):
+        for (w, h) in ((16, 16), (8, 6), (32, 32), (5, 3)):
+            got = ic.synth_image(image_id, w, h)
+            seed = ic._seed_for(image_id)
+            base = ic._synth_base((seed >> 8) % 4, w, h)
+            noise = np.random.RandomState(seed).randint(-16, 17, size=(h, w, 3))
+            want = (base + noise).clip(0, 255).astype(np.uint8)
+            assert got.dtype == want.dtype and (got == want).all(), (image_id, w, h)
