@@ -250,68 +250,53 @@ def _parse_map(check_payload: bool, blocked_counter=None):
     return fn
 
 
+_NONE6 = (None, None, None, None, None, None)
+
+
 class _AddrCols:
     """Flat column builder for an Address struct (r10 columnar parse):
-    six value lists + a null mask, filled either from a resolver
-    tuple (make_resolver_parts order) or a make_address dict."""
+    one tuple per entry in make_resolver_parts field order, unzipped
+    into the six child arrays at batch end (one list append per
+    address instead of seven; nulls are the _NONE6 sentinel, detected
+    by identity)."""
 
-    __slots__ = ("full", "scheme", "opaque", "host", "path", "query", "mask")
+    __slots__ = ("rows",)
 
     def __init__(self):
-        self.full = []
-        self.scheme = []
-        self.opaque = []
-        self.host = []
-        self.path = []
-        self.query = []
-        self.mask = []
+        self.rows = []
 
     def add_none(self):
-        self.mask.append(True)
-        self.full.append(None)
-        self.scheme.append(None)
-        self.opaque.append(None)
-        self.host.append(None)
-        self.path.append(None)
-        self.query.append(None)
+        self.rows.append(_NONE6)
 
     def add_parts(self, t):
-        if t is None:
-            self.add_none()
-            return
-        self.mask.append(False)
-        self.full.append(t[0])
-        self.scheme.append(t[1])
-        self.opaque.append(t[2])
-        self.host.append(t[3])
-        self.path.append(t[4])
-        self.query.append(t[5])
+        self.rows.append(t if t is not None else _NONE6)
 
     def add_dict(self, a):
         if a is None:
-            self.add_none()
-            return
-        self.mask.append(False)
-        self.full.append(a["Full"])
-        self.scheme.append(a["Scheme"])
-        self.opaque.append(a["Opaque"])
-        self.host.append(a["Host"])
-        self.path.append(a["Path"])
-        self.query.append(a["Query"])
+            self.rows.append(_NONE6)
+        else:
+            self.rows.append(
+                (a["Full"], a["Scheme"], a["Opaque"], a["Host"], a["Path"], a["Query"])
+            )
 
     def array(self, pa, typ):
         s = pa.string()
+        rows = self.rows
+        if rows:
+            full, scheme, opaque, host, path, query = zip(*rows)
+        else:
+            full = scheme = opaque = host = path = query = ()
         return pa.StructArray.from_arrays(
             [
-                pa.array(self.full, s),
-                pa.array(self.scheme, s),
-                pa.array(self.opaque, s),
-                pa.array(self.host, s),
-                pa.array(self.path, s),
-                pa.array(self.query, s),
+                pa.array(full, s),
+                pa.array(scheme, s),
+                pa.array(opaque, s),
+                pa.array(host, s),
+                pa.array(path, s),
+                pa.array(query, s),
             ],
             fields=list(typ),
-            mask=pa.array(self.mask, pa.bool_()),
+            mask=pa.array([r is _NONE6 for r in rows], pa.bool_()),
         )
 
 
@@ -394,14 +379,22 @@ def _parse_map_arrow(check_payload: bool, blocked_counter=None):
             n_blocked = 0
             addr_b = _AddrCols()
             resolves_b = _AddrCols()
+            # bound-local append methods for the per-link hot loop
+            # (~60 links/row at bench shape: the attribute lookups are
+            # a measurable slice of the stage)
             depth_o = []; bodyhash_o = []; desc_o = []; title_o = []; h1_o = []
             robots_o = []; status_o = []; sc_o = []; proto_o = []
             pmaj_o = []; pmin_o = []; prio_o = []; key_o = []
             canon_b = _AddrCols(); canon_href = []; canon_mask = []
             link_addr_b = _AddrCols(); link_anchor = []; link_href = []; link_nf = []
             link_off = []; link_cur = 0
+            la_app = link_addr_b.rows.append
+            lan_app = link_anchor.append; lh_app = link_href.append
+            lnf_app = link_nf.append
             hl_addr_b = _AddrCols(); hl_href = []; hl_lang = []
             hl_off = []; hl_cur = 0
+            hla_app = hl_addr_b.rows.append
+            hlh_app = hl_href.append; hll_app = hl_lang.append
             hdr_k = []; hdr_v = []; hdr_off = []; hdr_cur = 0
             pay_mask = []; pay_id = []; pay_cap = []; pay_fmt = []
             pay_w = []; pay_h = []; pay_ph = []; pay_psnr = []; pay_ok = []
@@ -460,10 +453,18 @@ def _parse_map_arrow(check_payload: bool, blocked_counter=None):
                     hl = ex["Hreflang"]
                     if hl:
                         hl_off.append(hl_cur)
+                        # alternate links repeat one href across
+                        # languages — reuse the last resolve (pure fn)
+                        ph = pt = None
                         for href, lang in hl:
-                            hl_addr_b.add_parts(resolve(href))
-                            hl_href.append(href)
-                            hl_lang.append(lang)
+                            if href == ph:
+                                t = pt
+                            else:
+                                t = resolve(href)
+                                ph, pt = href, t
+                            hla_app(t if t is not None else _NONE6)
+                            hlh_app(href)
+                            hll_app(lang)
                         hl_cur += len(hl)
                     else:
                         hl_off.append(None)  # [] -> None, result.go omitempty parity
@@ -471,10 +472,11 @@ def _parse_map_arrow(check_payload: bool, blocked_counter=None):
                     if lk:
                         link_off.append(link_cur)
                         for href, anchor, nofollow in lk:
-                            link_addr_b.add_parts(resolve(href))
-                            link_anchor.append(anchor)
-                            link_href.append(href)
-                            link_nf.append(nofollow)
+                            t = resolve(href)
+                            la_app(t if t is not None else _NONE6)
+                            lan_app(anchor)
+                            lh_app(href)
+                            lnf_app(nofollow)
                         link_cur += len(lk)
                     else:
                         link_off.append(None)

@@ -491,6 +491,17 @@ _A_FAST = _re.compile(
 # Groups shift by one (1 = lead text).
 _A_RUN_FAST = _re.compile(r"([^<&]*)" + _A_FAST.pattern)
 
+# r10: dominant meta/link attr shapes matched in ONE anchored regex
+# against the _TAG_START-validated araw span (value class identical
+# to _ATTR_GRAMMAR's double-quoted alternative). Any other
+# shape/order/quoting falls back to the general _TAG_ATTR walk, so
+# these are pure shortcuts; equivalence rides the same differential
+# fuzz as the tree path.
+_META_FAST = _re.compile(r'\s+name\s*=\s*"([^"<]*)"\s+content\s*=\s*"([^"<]*)"$')
+_LINK_FAST = _re.compile(
+    r'\s+rel\s*=\s*"([^"<]*)"\s+href\s*=\s*"([^"<]*)"(?:\s+hreflang\s*=\s*"([^"<]*)")?$'
+)
+
 
 def _anchor_attrs_walk(araw: str) -> tuple[str | None, str | None]:
     """(href, rel) of an anchor attr string that the _A_HREF_REL fast
@@ -583,18 +594,22 @@ def _fast_extract(s: str) -> dict:
                             a_href = _unescape(a_href)
                         if a_rel is not None and "&" in a_rel:
                             a_rel = _unescape(a_rel)
-                        new_sink = []
-                        links.append(
-                            (a_href or "", new_sink, (a_rel or "") == "nofollow")
-                        )
+                        # fused anchors are never pushed on the stack, so
+                        # their sink can never grow after this token —
+                        # store the text as a plain str (the final comp
+                        # type-dispatches str vs list)
                         i = fm.end()
                         tail = g[7]
+                        sink_val = ""
                         if tail:
                             seg = _unescape(tail) if "&" in tail else tail
                             all_parts.append(seg)
                             for sk in sinks:
                                 sk.append(seg)
-                            new_sink.append(seg)
+                            sink_val = seg
+                        links.append(
+                            (a_href or "", sink_val, (a_rel or "") == "nofollow")
+                        )
                         while True:
                             rm = _A_RUN_FAST.match(s, i)
                             if rm is None:
@@ -615,16 +630,16 @@ def _fast_extract(s: str) -> dict:
                                 a_href = _unescape(a_href)
                             if a_rel is not None and "&" in a_rel:
                                 a_rel = _unescape(a_rel)
-                            new_sink = []
                             rtail = rg[8]
+                            sink_val = ""
                             if rtail:
                                 seg = _unescape(rtail) if "&" in rtail else rtail
                                 all_parts.append(seg)
                                 for sk in sinks:
                                     sk.append(seg)
-                                new_sink.append(seg)
+                                sink_val = seg
                             links.append(
-                                (a_href or "", new_sink,
+                                (a_href or "", sink_val,
                                  (a_rel or "") == "nofollow")
                             )
                             i = rm.end()
@@ -768,44 +783,88 @@ def _fast_extract(s: str) -> dict:
             new_sink = None
             if tag in _EXTRACT_SET:
                 if tag == "meta" or tag == "link":
-                    attrs = {}
+                    # r10 fused fast shapes: the dominant double-quoted
+                    # name/content and rel/href[/hreflang] attr strings
+                    # in ONE anchored match — semantics mirror the
+                    # general walk below exactly (values unescaped when
+                    # used, first-match wins on desc/robots/canonical,
+                    # empty-href alternates dropped)
+                    handled = False
                     if araw:
-                        # tiling check: _TAG_ATTR must consume araw
-                        # gaplessly or the two grammars have drifted —
-                        # fall back loudly instead of silently
-                        # diverging from the tree path (ADVICE r06;
-                        # test_purecore also pins the patterns equal)
-                        apos = 0
-                        for am in _TAG_ATTR.finditer(araw):
-                            if am.start() != apos:
+                        if tag == "meta":
+                            fmm = _META_FAST.match(araw)
+                            if fmm is not None:
+                                nm, content = fmm.groups()
+                                if "&" in nm:
+                                    nm = _unescape(nm)
+                                if nm == "description" and desc is None:
+                                    if "&" in content:
+                                        content = _unescape(content)
+                                    desc = content or ""
+                                elif nm == "robots" and robots_v is None:
+                                    if "&" in content:
+                                        content = _unescape(content)
+                                    robots_v = content or ""
+                                handled = True
+                        else:
+                            flm = _LINK_FAST.match(araw)
+                            if flm is not None:
+                                rel_v, href_v, hl_v = flm.groups()
+                                if "&" in rel_v:
+                                    rel_v = _unescape(rel_v)
+                                if rel_v == "canonical":
+                                    if canon_href is None:
+                                        canon_href = (
+                                            _unescape(href_v) if "&" in href_v else href_v
+                                        ) or ""
+                                elif rel_v == "alternate":
+                                    href = (
+                                        _unescape(href_v) if "&" in href_v else href_v
+                                    ) or ""
+                                    if href != "":
+                                        if hl_v is not None and "&" in hl_v:
+                                            hl_v = _unescape(hl_v)
+                                        hreflang.append((href, hl_v or ""))
+                                handled = True
+                    if not handled:
+                        attrs = {}
+                        if araw:
+                            # tiling check: _TAG_ATTR must consume araw
+                            # gaplessly or the two grammars have drifted —
+                            # fall back loudly instead of silently
+                            # diverging from the tree path (ADVICE r06;
+                            # test_purecore also pins the patterns equal)
+                            apos = 0
+                            for am in _TAG_ATTR.finditer(araw):
+                                if am.start() != apos:
+                                    raise _Fallback
+                                apos = am.end()
+                                name, _, dq, sq, unq = am.groups()
+                                val = dq if dq is not None else (sq if sq is not None else unq)
+                                if val is not None and "&" in val:
+                                    val = _unescape(val)
+                                if not name.islower():
+                                    name = name.lower()
+                                attrs[name] = val  # dup attr: last wins
+                            if apos != len(araw):
                                 raise _Fallback
-                            apos = am.end()
-                            name, _, dq, sq, unq = am.groups()
-                            val = dq if dq is not None else (sq if sq is not None else unq)
-                            if val is not None and "&" in val:
-                                val = _unescape(val)
-                            if not name.islower():
-                                name = name.lower()
-                            attrs[name] = val  # dup attr: last wins
-                        if apos != len(araw):
-                            raise _Fallback
-                    if tag == "meta":
-                        nm = attrs.get("name", _MISSING)
-                        if nm is not _MISSING:
-                            nm = nm or ""
-                            if nm == "description" and desc is None:
-                                desc = attrs.get("content") or ""
-                            elif nm == "robots" and robots_v is None:
-                                robots_v = attrs.get("content") or ""
-                    else:  # link
-                        rel = attrs.get("rel", _MISSING)
-                        if rel is not _MISSING and (rel or "") == "canonical":
-                            if canon_href is None:
-                                canon_href = attrs.get("href") or ""
-                        if rel == "alternate":  # plain-equality (tree: attrs.get)
-                            href = attrs.get("href") or ""
-                            if href != "":
-                                hreflang.append((href, attrs.get("hreflang") or ""))
+                        if tag == "meta":
+                            nm = attrs.get("name", _MISSING)
+                            if nm is not _MISSING:
+                                nm = nm or ""
+                                if nm == "description" and desc is None:
+                                    desc = attrs.get("content") or ""
+                                elif nm == "robots" and robots_v is None:
+                                    robots_v = attrs.get("content") or ""
+                        else:  # link
+                            rel = attrs.get("rel", _MISSING)
+                            if rel is not _MISSING and (rel or "") == "canonical":
+                                if canon_href is None:
+                                    canon_href = attrs.get("href") or ""
+                            if rel == "alternate":  # plain-equality (tree: attrs.get)
+                                href = attrs.get("href") or ""
+                                if href != "":
+                                    hreflang.append((href, attrs.get("hreflang") or ""))
                 elif tag == "body":
                     if body_s is None:
                         body_s = new_sink = []
@@ -878,7 +937,9 @@ def _fast_extract(s: str) -> dict:
         "Robots": robots_v if robots_v is not None else "",
         "CanonicalHref": canon_href if canon_href is not None else "",
         "Hreflang": hreflang,
-        "Links": [(h, "".join(sk), nf) for h, sk, nf in links],
+        "Links": [
+            (h, sk if type(sk) is str else "".join(sk), nf) for h, sk, nf in links
+        ],
         "BodyTextHash": sha512_b64(body_text),
     }
 

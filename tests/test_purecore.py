@@ -312,6 +312,14 @@ def test_meta_link_attr_tiling_falls_back_loudly():
            "</head><body></body></html>")
     tree = htmlex._extract_from_tree(htmlex.parse_tree_slow(doc))
     assert htmlex._fast_extract(doc) == tree
+    # r10: the dominant double-quoted name/content shape is handled by
+    # the fused _META_FAST match without the walk — the guard lives on
+    # the walk path, so drift detection is exercised with an attr
+    # string OUTSIDE the fused shape (reversed order, single quotes)
+    walk_doc = ("<html><head><meta content='noindex' name='robots'>"
+                "</head><body></body></html>")
+    assert htmlex._fast_extract(walk_doc) == htmlex._extract_from_tree(
+        htmlex.parse_tree_slow(walk_doc))
     orig = htmlex._TAG_ATTR
     try:
         # a deliberately-drifted per-attr pattern that skips name=
@@ -320,7 +328,7 @@ def test_meta_link_attr_tiling_falls_back_loudly():
 
         htmlex._TAG_ATTR = re.compile(r"\s+(xyzzy)()()()()")
         with pytest.raises(htmlex._Fallback):
-            htmlex._fast_extract(doc)
+            htmlex._fast_extract(walk_doc)
     finally:
         htmlex._TAG_ATTR = orig
 
