@@ -461,44 +461,53 @@ def embedding_neardup_ivf(
     the pair set is a SUPERSET of single-probe's (every shared
     nearest bucket still shared; asserted in tests together with the
     recall-vs-brute-force comparison), at ~p^2/2 x the in-bucket pair
-    work. Candidate pairs are deduped BEFORE the cosine evaluation so
-    a pair sharing several probed buckets is scored once."""
-    from .similarity import _cos_pre, _norm, ivf_assign, ivf_assign_multi
+    work. A pair sharing several probed buckets is scored once.
 
-    assign = (
-        ivf_assign(emb, centroids)
-        if n_probe <= 1
-        else ivf_assign_multi(emb, centroids, n_probe)
-    )
-    pa, pb = assign.alias("pa"), assign.alias("pb")
-    cand = (
-        pa.join(
-            pb,
-            (F.col("pa.bucket") == F.col("pb.bucket"))
-            & (F.col("pa.vec_id") < F.col("pb.vec_id")),
+    r10 plan shape: vectors, norms AND the full probe array ride the
+    assignment aggregate (first(v)/first(n) — constant per group, the
+    ivf_topk carry pattern), and each bucket group crosses the Python
+    boundary ONCE (similarity._bucket_pairs_scored): pairs are
+    generated in-group (triu over vec_id-sorted members), multi-probe
+    duplicates are dropped by the canonical-bucket bitmask (a pair is
+    kept only where the group's bucket == min of its shared probe
+    set — exactly the set the old ids-only distinct + re-join
+    produced), and the cosine is the same ascending-element left fold
+    as the interpreted _cos_pre (bit-identical surviving values).
+    The only shuffles are the n-row assignment aggregate and the
+    n*p-row bucket exchange — no O(pairs) exchange and no O(pairs)
+    vector shipping anywhere."""
+    from .similarity import _bucket_pairs_scored, _centroid_scores_carry
+
+    probes = (
+        _centroid_scores_carry(emb, centroids)
+        .groupBy("vec_id")
+        .agg(
+            F.slice(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            (-F.col("c_cos")).alias("neg"),
+                            F.col("centroid_id").alias("cid"),
+                        )
+                    )
+                ),
+                1,
+                max(n_probe, 1),
+            ).alias("tops"),
+            F.first("v").alias("v"),
+            F.first("n").alias("n"),
         )
         .select(
-            F.col("pa.vec_id").alias("vec_a"), F.col("pb.vec_id").alias("vec_b")
+            "vec_id",
+            F.col("tops").getField("cid").alias("buckets"),
+            "v",
+            "n",
         )
-        .distinct()
     )
-    # norms hoisted per vector (r10, similarity._norm): the in-bucket
-    # pair space is the quadratic term here, and the inline cosine
-    # paid 3 interpreted dot products per pair
-    e = spread(
-        emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
-    ).withColumn("n", _norm(F.col("v")))
-    a = e.select(
-        F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), F.col("n").alias("na")
-    )
-    b = e.select(
-        F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"), F.col("n").alias("nb")
-    )
-    cos = _cos_pre(F.col("va"), F.col("na"), F.col("vb"), F.col("nb"))
+    side = probes.withColumn("bucket", F.explode("buckets"))
+    scored = _bucket_pairs_scored(side, canonical_filter=True)
     return (
-        cand.join(a, "vec_a")
-        .join(b, "vec_b")
-        .select("vec_a", "vec_b", F.round(cos, 4).alias("cosine"))
+        scored.select("vec_a", "vec_b", F.round(F.col("cosine"), 4).alias("cosine"))
         .filter(F.col("cosine") >= threshold)
         .orderBy(F.desc("cosine"), "vec_a", "vec_b")
     )
@@ -794,28 +803,31 @@ def embedding_neardup(
     emb: DataFrame, threshold: float = 0.92, block_col: str = "label"
 ) -> DataFrame:
     """Embedding-cosine near-duplicates, blocked to avoid O(n²)
-    (label here; IVF buckets at scale). Cosine in float64 via
-    higher-order zip_with/aggregate — all JVM-side; norms hoisted per
-    vector (r10, similarity._norm) so each in-block pair pays one dot
-    product, not three."""
-    from .similarity import _cos_pre, _norm
+    (label here; IVF buckets at scale). Norms hoisted per vector
+    (r10, similarity._norm); the in-block pair stage is scored by the
+    numpy-batched mapInArrow fold (similarity._scored_pairs_arrow),
+    bit-identical to the interpreted zip_with/aggregate cosine."""
+    from .similarity import _norm, _scored_pairs_arrow
 
     e = spread(
         emb.select("vec_id", block_col, F.col("embedding").cast("array<double>").alias("v"))
     ).withColumn("n", _norm(F.col("v")))
     a, b = e.alias("a"), e.alias("b")
-    cos = _cos_pre(F.col("a.v"), F.col("a.n"), F.col("b.v"), F.col("b.n"))
+    joined = a.join(
+        b,
+        (F.col(f"a.{block_col}") == F.col(f"b.{block_col}"))
+        & (F.col("a.vec_id") < F.col("b.vec_id")),
+    ).select(
+        F.col("a.vec_id").alias("vec_a"),
+        F.col("b.vec_id").alias("vec_b"),
+        F.col("a.v").alias("va"),
+        F.col("a.n").alias("na"),
+        F.col("b.v").alias("vb"),
+        F.col("b.n").alias("nb"),
+    )
+    scored = _scored_pairs_arrow(joined)
     return (
-        a.join(
-            b,
-            (F.col(f"a.{block_col}") == F.col(f"b.{block_col}"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
-        )
-        .select(
-            F.col("a.vec_id").alias("vec_a"),
-            F.col("b.vec_id").alias("vec_b"),
-            F.round(cos, 4).alias("cosine"),
-        )
+        scored.select("vec_a", "vec_b", F.round(F.col("cosine"), 4).alias("cosine"))
         .filter(F.col("cosine") >= threshold)
         .orderBy(F.desc("cosine"), "vec_a", "vec_b")
     )

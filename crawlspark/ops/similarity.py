@@ -63,6 +63,104 @@ def _cos_pre(av, an, bv, bn):
     return _dot(av, bv) / (an * bn)
 
 
+def _scored_pairs_arrow(joined: DataFrame) -> DataFrame:
+    """Numpy-batched pair scorer (r10, guide §4.2) for the quadratic
+    near-dup pair stage: input (vec_a, vec_b, va, na, vb, nb), output
+    (vec_a, vec_b, cosine) with cosine EXACTLY equal to
+    ``_cos_pre(va, na, vb, nb)``. The accumulation is the same left
+    fold in ascending element order the interpreted
+    aggregate(zip_with(va, vb, *), 0.0, +) performs —
+    ``acc += A[:, j] * B[:, j]`` for j = 0..d-1 does, per pair,
+    multiply-then-add on float64 in the identical sequence — so every
+    double is bit-identical (pinned by
+    tests/test_ops.py::test_scored_pairs_arrow_bit_equal). Rows the
+    vectorized path cannot prove dense/rectangular/null-free fall back
+    to a scalar fold replicating the HOF null semantics (null element
+    or ragged zip -> null cosine)."""
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        [joined.schema["vec_a"], joined.schema["vec_b"],
+         T.StructField("cosine", T.DoubleType())]
+    )
+
+    def fn(batches):
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        for rb in batches:
+            idx = {nm: j for j, nm in enumerate(rb.schema.names)}
+            ca, cb = rb.column(idx["vec_a"]), rb.column(idx["vec_b"])
+            va, vb = rb.column(idx["va"]), rb.column(idx["vb"])
+            na, nb = rb.column(idx["na"]), rb.column(idx["nb"])
+            n = rb.num_rows
+            cos_arr = None
+            if n and not (va.null_count or vb.null_count or na.null_count or nb.null_count):
+                la = pc.list_value_length(va).to_numpy(zero_copy_only=False)
+                lb = pc.list_value_length(vb).to_numpy(zero_copy_only=False)
+                d = int(la[0])
+                fa, fb = va.flatten(), vb.flatten()
+                if (
+                    d > 0
+                    and (la == d).all()
+                    and (lb == d).all()
+                    and fa.null_count == 0
+                    and fb.null_count == 0
+                    and len(fa) == n * d
+                    and len(fb) == n * d
+                ):
+                    A = fa.to_numpy(zero_copy_only=False).reshape(n, d)
+                    B = fb.to_numpy(zero_copy_only=False).reshape(n, d)
+                    acc = np.zeros(n, dtype=np.float64)
+                    for j in range(d):
+                        acc += A[:, j] * B[:, j]
+                    denom = na.to_numpy(zero_copy_only=False) * nb.to_numpy(
+                        zero_copy_only=False
+                    )
+                    if (denom == 0.0).any():
+                        # ANSI parity: _cos_pre's division raises on a
+                        # zero divisor (session ANSI mode is on)
+                        raise ZeroDivisionError("Division by zero")
+                    cos_arr = pa.array(acc / denom, pa.float64())
+            if cos_arr is None:
+                # scalar fallback with exact HOF semantics
+                vals = []
+                va_l, vb_l = va.to_pylist(), vb.to_pylist()
+                na_l, nb_l = na.to_pylist(), nb.to_pylist()
+                f64 = np.float64
+                for i in range(n):
+                    a_v, b_v = va_l[i], vb_l[i]
+                    n_a, n_b = na_l[i], nb_l[i]
+                    if a_v is None or b_v is None or n_a is None or n_b is None:
+                        vals.append(None)
+                        continue
+                    if len(a_v) != len(b_v):
+                        vals.append(None)  # zip_with pads with null -> poisons
+                        continue
+                    s = 0.0
+                    bad = False
+                    for p, q in zip(a_v, b_v):
+                        if p is None or q is None:
+                            bad = True
+                            break
+                        s = s + p * q
+                    if bad:
+                        vals.append(None)
+                    else:
+                        denom = f64(n_a) * f64(n_b)
+                        if denom == 0.0:
+                            raise ZeroDivisionError("Division by zero")  # ANSI parity
+                        vals.append(float(f64(s) / denom))
+                cos_arr = pa.array(vals, pa.float64())
+            yield pa.RecordBatch.from_arrays([ca, cb, cos_arr],
+                                             names=["vec_a", "vec_b", "cosine"])
+
+    return joined.select("vec_a", "vec_b", "va", "na", "vb", "nb").mapInArrow(
+        fn, out_schema
+    )
+
+
 def cosine_topk(emb: DataFrame, k: int = 5, n_queries: int = 10) -> DataFrame:
     """Exact top-k cosine neighbors for the first ``n_queries``
     vectors (excluding self). Query side is tiny -> broadcast it so
@@ -112,6 +210,120 @@ def _centroid_scores(emb: DataFrame, centroids: DataFrame) -> DataFrame:
     )
     return e.crossJoin(c).select(
         "vec_id",
+        "centroid_id",
+        F.round(_cos_pre(F.col("v"), F.col("n"), F.col("cv"), F.col("cn")), 6).alias("c_cos"),
+    )
+
+
+def _bucket_pairs_scored(side: DataFrame, canonical_filter: bool) -> DataFrame:
+    """In-bucket pair scorer (r10, guide §2.3/§4.2): input one row per
+    (vector, probed bucket) — (vec_id, v, n, bucket[, buckets]) — and
+    output every in-bucket pair (vec_a < vec_b) with its cosine.
+    Each bucket group crosses the Python boundary ONCE (m vectors,
+    not m^2/2 pairs — the pair-join + mapInArrow shape shipped every
+    pair its two vectors, ~1 KB/pair); pairs are generated in-group
+    via triu indices over vec_id-sorted rows and scored with the same
+    ascending-element left fold as the interpreted _cos_pre
+    (acc += V[iu, j] * V[jv, j]), so surviving cosines are
+    bit-identical. ``canonical_filter`` dedups multi-probe pairs
+    without any O(pairs) exchange: a pair sharing several probed
+    buckets is kept only in the group whose bucket is the MIN of the
+    shared probe set (bitmask test; set fallback for bucket ids >=
+    64). ANSI parity: a zero norm product on an emitted pair raises
+    like _cos_pre's division does. Null vectors/norms drop their
+    pairs (the old path scored them to null and the >= threshold
+    filter dropped them); a ragged group falls back to a scalar fold
+    with exact HOF semantics."""
+    from pyspark.sql import types as T
+
+    id_type = side.schema["vec_id"].dataType
+    out_schema = T.StructType(
+        [T.StructField("vec_a", id_type), T.StructField("vec_b", id_type),
+         T.StructField("cosine", T.DoubleType())]
+    )
+
+    def score(pdf):
+        import numpy as np
+        import pandas as pd
+
+        empty = pd.DataFrame({"vec_a": [], "vec_b": [], "cosine": []})
+        pdf = pdf[pdf["v"].notna() & pdf["n"].notna()]
+        m = len(pdf)
+        if m < 2:
+            return empty
+        ids = pdf["vec_id"].to_numpy()
+        order = np.argsort(ids, kind="stable")
+        ids = ids[order]
+        vs = pdf["v"].to_numpy()[order]
+        norms = pdf["n"].to_numpy()[order].astype(np.float64, copy=False)
+        lens = {len(x) for x in vs}
+        iu, jv = np.triu_indices(m, k=1)
+        if canonical_filter:
+            bl = pdf["buckets"].to_numpy()[order]
+            cur = int(pdf["bucket"].iloc[0])
+            if cur < 64 and all(0 <= int(b) < 64 for bs in bl for b in bs):
+                masks = np.fromiter(
+                    (sum(1 << int(b) for b in set(int(x) for x in bs)) for bs in bl),
+                    dtype=np.uint64, count=m,
+                )
+                keep = (masks[iu] & masks[jv] & np.uint64((1 << cur) - 1)) == 0
+            else:
+                bsets = [set(int(x) for x in bs) for bs in bl]
+                keep = np.fromiter(
+                    (min(bsets[i] & bsets[j]) == cur for i, j in zip(iu, jv)),
+                    dtype=bool, count=len(iu),
+                )
+            iu, jv = iu[keep], jv[keep]
+            if not len(iu):
+                return empty
+        if len(lens) != 1:
+            # ragged group: scalar fold with exact HOF null semantics
+            f64 = np.float64
+            out_a, out_b, out_c = [], [], []
+            for i, j in zip(iu, jv):
+                a_v, b_v = vs[i], vs[j]
+                if len(a_v) != len(b_v):
+                    continue  # zip_with pads with null -> null cosine -> dropped
+                s = 0.0
+                for p, q in zip(a_v, b_v):
+                    s = s + p * q
+                denom = f64(norms[i]) * f64(norms[j])
+                if denom == 0.0:
+                    raise ZeroDivisionError("Division by zero")  # ANSI parity
+                out_a.append(ids[i]); out_b.append(ids[j])
+                out_c.append(float(f64(s) / denom))
+            return pd.DataFrame({"vec_a": out_a, "vec_b": out_b, "cosine": out_c})
+        V = np.stack(vs).astype(np.float64, copy=False)
+        acc = np.zeros(len(iu), dtype=np.float64)
+        for j in range(V.shape[1]):
+            acc += V[iu, j] * V[jv, j]
+        denom = norms[iu] * norms[jv]
+        if (denom == 0.0).any():
+            raise ZeroDivisionError("Division by zero")  # ANSI parity
+        return pd.DataFrame({"vec_a": ids[iu], "vec_b": ids[jv], "cosine": acc / denom})
+
+    return side.groupBy("bucket").applyInPandas(score, out_schema)
+
+
+def _centroid_scores_carry(emb: DataFrame, centroids: DataFrame) -> DataFrame:
+    """_centroid_scores with the vector and its norm CARRIED through
+    the fan-out (vec_id, v, n, centroid_id, c_cos) — the ivf_topk
+    carry pattern, shared with dedup.embedding_neardup_ivf so a
+    downstream assignment aggregate can keep v/n via first() instead
+    of re-joining the vector table. Same rounded c_cos expression as
+    _centroid_scores (identical buckets)."""
+    e = spread(
+        emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    ).withColumn("n", _norm(F.col("v")))
+    c = F.broadcast(
+        centroids.select(
+            "centroid_id", F.col("center").cast("array<double>").alias("cv")
+        ).withColumn("cn", _norm(F.col("cv")))
+    )
+    return e.crossJoin(c).select(
+        "vec_id",
+        "v",
+        "n",
         "centroid_id",
         F.round(_cos_pre(F.col("v"), F.col("n"), F.col("cv"), F.col("cn")), 6).alias("c_cos"),
     )

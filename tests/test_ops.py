@@ -853,3 +853,84 @@ def test_lsh_verified_candidate_pruning_is_lossless(spark):
         .collect()
     }
     assert got == ref and len(got) > 0
+
+
+def test_scored_pairs_arrow_bit_equal(spark):
+    """r10: the numpy-batched pair scorer must equal the interpreted
+    _cos_pre HOF cosine BIT-FOR-BIT (same left fold in element
+    order), including the scalar fallback's null semantics (null
+    vector/norm, null element, ragged lengths -> null cosine)."""
+    from pyspark.sql import functions as F
+
+    from crawlspark.ops.similarity import _cos_pre, _norm, _scored_pairs_arrow
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    e = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    ).withColumn("n", _norm(F.col("v")))
+    a = e.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"),
+                 F.col("n").alias("na"))
+    b = e.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"),
+                 F.col("n").alias("nb"))
+    joined = a.join(b, F.col("vec_a") % 17 == F.col("vec_b") % 17).filter(
+        F.col("vec_a") < F.col("vec_b")
+    )
+    want = {
+        (r["vec_a"], r["vec_b"]): r["cosine"]
+        for r in joined.select(
+            "vec_a", "vec_b",
+            _cos_pre(F.col("va"), F.col("na"), F.col("vb"), F.col("nb")).alias("cosine"),
+        ).collect()
+    }
+    got = {
+        (r["vec_a"], r["vec_b"]): r["cosine"]
+        for r in _scored_pairs_arrow(joined).collect()
+    }
+    assert len(got) == len(want) and len(got) > 1000
+    # bit-for-bit: exact float equality, no tolerance
+    assert got == want
+
+    # fallback semantics: nulls and ragged rows
+    rows = [
+        (1, 2, [1.0, 2.0], 5.0, [3.0, 4.0], 7.0),      # dense pair (fast path shape)
+        (3, 4, None, 5.0, [1.0], 1.0),                  # null vector
+        (5, 6, [1.0, 2.0], None, [3.0, 4.0], 7.0),      # null norm
+        (7, 8, [1.0, None], 5.0, [3.0, 4.0], 7.0),      # null element
+        (9, 10, [1.0, 2.0, 3.0], 5.0, [1.0], 7.0),      # ragged zip
+        (11, 12, [], 1.0, [], 1.0),                     # empty vectors -> 0.0
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_a long, vec_b long, va array<double>, na double, vb array<double>, nb double"
+    )
+    want2 = {
+        (r["vec_a"], r["vec_b"]): r["cosine"]
+        for r in df.select(
+            "vec_a", "vec_b",
+            _cos_pre(F.col("va"), F.col("na"), F.col("vb"), F.col("nb")).alias("cosine"),
+        ).collect()
+    }
+    got2 = {
+        (r["vec_a"], r["vec_b"]): r["cosine"]
+        for r in _scored_pairs_arrow(df).collect()
+    }
+    import math
+
+    assert set(got2) == set(want2)
+    for k in want2:
+        w, g = want2[k], got2[k]
+        assert (w is None and g is None) or (
+            isinstance(w, float) and isinstance(g, float)
+            and (w == g or (math.isnan(w) and math.isnan(g)))
+        ), (k, w, g)
+
+    # ANSI parity: a zero denominator raises in BOTH paths
+    zdf = spark.createDataFrame(
+        [(1, 2, [1.0], 0.0, [1.0], 0.0)],
+        "vec_a long, vec_b long, va array<double>, na double, vb array<double>, nb double",
+    )
+    with pytest.raises(Exception, match="(?i)zero"):
+        zdf.select(
+            _cos_pre(F.col("va"), F.col("na"), F.col("vb"), F.col("nb")).alias("c")
+        ).collect()
+    with pytest.raises(Exception, match="(?i)zero"):
+        _scored_pairs_arrow(zdf).collect()
