@@ -134,11 +134,22 @@ class _Fallback(Exception):
 import re as _re
 from html import unescape as _unescape
 
+# Shared attr-VALUE character classes (r10): every grammar below —
+# _ATTR_GRAMMAR, _TAG_ATTR, the fused anchor shapes, _META_FAST and
+# _LINK_FAST — is COMPOSED from these fragments, so the fast shapes
+# cannot drift from the walk grammar (the r6 shared-grammar rule,
+# extended to the r10 additions).
+_V_DQ = r"[^\"<]*"          # double-quoted value body
+_V_SQ = r"[^'<]*"           # single-quoted value body
+_V_UNQ = r"[^\s>'\"<`=]+"   # unquoted value
+_VAL = r"\"" + _V_DQ + r"\"|'" + _V_SQ + r"'|" + _V_UNQ
+_VAL_CAP = r"\"(" + _V_DQ + r")\"|'(" + _V_SQ + r")'|(" + _V_UNQ + r")"
+
 # one attr per repetition — shared between _TAG_START and the fused
 # anchor pattern below so the two grammars cannot diverge
 _ATTR_GRAMMAR = (
     r"(?:\s+[a-zA-Z_:][-a-zA-Z0-9_:.]*"
-    r"(?:\s*=\s*(?:\"[^\"<]*\"|'[^'<]*'|[^\s>'\"<`=]+))?)*"
+    r"(?:\s*=\s*(?:" + _VAL + r"))?)*"
 )
 _TAG_START = _re.compile(
     r"<([a-zA-Z][a-zA-Z0-9:._-]*)"
@@ -147,7 +158,7 @@ _TAG_START = _re.compile(
 )
 _TAG_ATTR = _re.compile(
     r"\s+([a-zA-Z_:][-a-zA-Z0-9_:.]*)"
-    r"(?:\s*=\s*(\"([^\"<]*)\"|'([^'<]*)'|([^\s>'\"<`=]+)))?"
+    r"(?:\s*=\s*(" + _VAL_CAP + r"))?"
 )
 _TAG_END = _re.compile(r"</([a-zA-Z][a-zA-Z0-9:._-]*)\s*>")
 # _markupbase.parse_comment closes on r'--\s*>' — mirror exactly
@@ -463,8 +474,8 @@ _A_FULL = _re.compile(
 # shape/order/casing (incl. dup attrs, where last-wins matters) falls
 # back to the general finditer walk.
 _A_HREF_REL = _re.compile(
-    r"\s+href\s*=\s*(?:\"([^\"<]*)\"|'([^'<]*)'|([^\s>'\"<`=]+))"
-    r"(?:\s+rel\s*=\s*(?:\"([^\"<]*)\"|'([^'<]*)'|([^\s>'\"<`=]+)))?$"
+    r"\s+href\s*=\s*(?:" + _VAL_CAP + r")"
+    r"(?:\s+rel\s*=\s*(?:" + _VAL_CAP + r"))?$"
 )
 # Sibling-anchor run: plain text (no '<' or '&', so no unescape and
 # no dispatch needed) followed by another whole anchor — link lists
@@ -483,8 +494,8 @@ _A_RUN = _re.compile(r"([^<&]*)" + _A_FULL.pattern)
 # _A_FULL path for those (rewind semantics live in one place).
 # Groups: 1-3 href alts, 4-6 rel alts, 7 selfclose, 8 tail.
 _A_FAST = _re.compile(
-    r"<[aA]\s+href\s*=\s*(?:\"([^\"<]*)\"|'([^'<]*)'|([^\s>'\"<`=]+))"
-    r"(?:\s+rel\s*=\s*(?:\"([^\"<]*)\"|'([^'<]*)'|([^\s>'\"<`=]+)))?"
+    r"<[aA]\s+href\s*=\s*(?:" + _VAL_CAP + r")"
+    r"(?:\s+rel\s*=\s*(?:" + _VAL_CAP + r"))?"
     r"\s*(/?)>(?:([^<]*)</[aA]\s*>)?"
 )
 # Sibling-run variant: plain gap text (no '<'/'&') + the fused shape.
@@ -497,9 +508,12 @@ _A_RUN_FAST = _re.compile(r"([^<&]*)" + _A_FAST.pattern)
 # shape/order/quoting falls back to the general _TAG_ATTR walk, so
 # these are pure shortcuts; equivalence rides the same differential
 # fuzz as the tree path.
-_META_FAST = _re.compile(r'\s+name\s*=\s*"([^"<]*)"\s+content\s*=\s*"([^"<]*)"$')
+_META_FAST = _re.compile(
+    r'\s+name\s*=\s*"(' + _V_DQ + r')"\s+content\s*=\s*"(' + _V_DQ + r')"$'
+)
 _LINK_FAST = _re.compile(
-    r'\s+rel\s*=\s*"([^"<]*)"\s+href\s*=\s*"([^"<]*)"(?:\s+hreflang\s*=\s*"([^"<]*)")?$'
+    r'\s+rel\s*=\s*"(' + _V_DQ + r')"\s+href\s*=\s*"(' + _V_DQ + r')"'
+    r'(?:\s+hreflang\s*=\s*"(' + _V_DQ + r')")?$'
 )
 
 

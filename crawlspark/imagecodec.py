@@ -32,6 +32,7 @@ NotImplementedError with the reason.
 from __future__ import annotations
 
 import struct
+import threading as _threading
 import zlib
 
 import numpy as np
@@ -236,7 +237,19 @@ def _seed_for(image_id: str) -> int:
 # (identical stream, asserted in tests) while skipping the
 # constructor's discarded SeedSequence init (~140 us -> ~4 us).
 _BASE_CACHE: dict = {}
-_SYNTH_RNG = np.random.RandomState(0)
+_SYNTH_TLS = _threading.local()
+
+
+def _synth_rng() -> np.random.RandomState:
+    """Per-THREAD reusable RandomState (re-seeded per synth_image
+    call): a single module-level instance would make the function
+    non-reentrant — interleaved seed/draw from two threads (the
+    engine already runs secondary driver threads) would silently
+    cross noise streams."""
+    rng = getattr(_SYNTH_TLS, "rng", None)
+    if rng is None:
+        rng = _SYNTH_TLS.rng = np.random.RandomState(0)
+    return rng
 
 
 def synth_image(image_id: str, w: int = 32, h: int = 32) -> np.ndarray:
@@ -253,7 +266,7 @@ def synth_image(image_id: str, w: int = 32, h: int = 32) -> np.ndarray:
     if base is None:
         base = _synth_base(pat, w, h)
         _BASE_CACHE[(pat, w, h)] = base
-    rng = _SYNTH_RNG
+    rng = _synth_rng()
     rng.seed(seed)
     noise = rng.randint(-16, 17, size=(h, w, 3))
     return (base + noise).clip(0, 255).astype(np.uint8)

@@ -230,10 +230,20 @@ def _bucket_pairs_scored(side: DataFrame, canonical_filter: bool) -> DataFrame:
     buckets is kept only in the group whose bucket is the MIN of the
     shared probe set (bitmask test; set fallback for bucket ids >=
     64). ANSI parity: a zero norm product on an emitted pair raises
-    like _cos_pre's division does. Null vectors/norms drop their
-    pairs (the old path scored them to null and the >= threshold
-    filter dropped them); a ragged group falls back to a scalar fold
-    with exact HOF semantics."""
+    like _cos_pre's division does. Null vectors/norms AND vectors
+    with a null ELEMENT drop their pairs — nulls are filtered in the
+    JVM before the group, where null is still distinguishable from
+    NaN (the old HOF path scored them to a null cosine and the
+    >= threshold filter dropped them — same outcome, now deliberate).
+    Literal-NaN elements (out-of-domain data) also end as DROPPED
+    pairs: applyInPandas's pandas->Arrow return coerces float NaN to
+    null — the one documented divergence from the HOF path, which
+    emitted a NaN-cosine row there (Spark orders NaN above any
+    threshold); pinned by
+    tests/test_ops.py::test_bucket_pairs_scored_null_and_nan_elements.
+    A ragged group falls back to a scalar fold with exact HOF
+    semantics. Pair generation is CHUNKED (~4M pairs per block) so a
+    skewed bucket never materializes O(m^2) index arrays at once."""
     from pyspark.sql import types as T
 
     id_type = side.schema["vec_id"].dataType
@@ -256,53 +266,109 @@ def _bucket_pairs_scored(side: DataFrame, canonical_filter: bool) -> DataFrame:
         ids = ids[order]
         vs = pdf["v"].to_numpy()[order]
         norms = pdf["n"].to_numpy()[order].astype(np.float64, copy=False)
-        lens = {len(x) for x in vs}
-        iu, jv = np.triu_indices(m, k=1)
+        ragged = len({len(x) for x in vs}) != 1
+        V = None if ragged else np.stack(vs).astype(np.float64, copy=False)
+        fast_mask = False
         if canonical_filter:
             bl = pdf["buckets"].to_numpy()[order]
             cur = int(pdf["bucket"].iloc[0])
-            if cur < 64 and all(0 <= int(b) < 64 for bs in bl for b in bs):
+            fast_mask = cur < 64 and all(0 <= int(b) < 64 for bs in bl for b in bs)
+            if fast_mask:
                 masks = np.fromiter(
                     (sum(1 << int(b) for b in set(int(x) for x in bs)) for bs in bl),
                     dtype=np.uint64, count=m,
                 )
-                keep = (masks[iu] & masks[jv] & np.uint64((1 << cur) - 1)) == 0
+                below = np.uint64((1 << cur) - 1)
             else:
                 bsets = [set(int(x) for x in bs) for bs in bl]
-                keep = np.fromiter(
-                    (min(bsets[i] & bsets[j]) == cur for i, j in zip(iu, jv)),
-                    dtype=bool, count=len(iu),
-                )
-            iu, jv = iu[keep], jv[keep]
+        outs = []
+        CHUNK = 4_000_000  # pair budget per block: bounds peak memory
+        i0 = 0
+        while i0 < m - 1:
+            i1, pairs = i0, 0
+            while i1 < m - 1 and (pairs == 0 or pairs + (m - 1 - i1) <= CHUNK):
+                pairs += m - 1 - i1
+                i1 += 1
+            rows = np.arange(i0, i1)
+            iu = np.repeat(rows, m - 1 - rows)
+            jv = np.concatenate([np.arange(i + 1, m) for i in range(i0, i1)])
+            i0 = i1
+            if canonical_filter:
+                if fast_mask:
+                    keep = (masks[iu] & masks[jv] & below) == 0
+                else:
+                    keep = np.fromiter(
+                        (min(bsets[i] & bsets[j]) == cur for i, j in zip(iu, jv)),
+                        dtype=bool, count=len(iu),
+                    )
+                iu, jv = iu[keep], jv[keep]
             if not len(iu):
-                return empty
-        if len(lens) != 1:
-            # ragged group: scalar fold with exact HOF null semantics
-            f64 = np.float64
-            out_a, out_b, out_c = [], [], []
-            for i, j in zip(iu, jv):
-                a_v, b_v = vs[i], vs[j]
-                if len(a_v) != len(b_v):
-                    continue  # zip_with pads with null -> null cosine -> dropped
-                s = 0.0
-                for p, q in zip(a_v, b_v):
-                    s = s + p * q
-                denom = f64(norms[i]) * f64(norms[j])
-                if denom == 0.0:
-                    raise ZeroDivisionError("Division by zero")  # ANSI parity
-                out_a.append(ids[i]); out_b.append(ids[j])
-                out_c.append(float(f64(s) / denom))
-            return pd.DataFrame({"vec_a": out_a, "vec_b": out_b, "cosine": out_c})
-        V = np.stack(vs).astype(np.float64, copy=False)
-        acc = np.zeros(len(iu), dtype=np.float64)
-        for j in range(V.shape[1]):
-            acc += V[iu, j] * V[jv, j]
-        denom = norms[iu] * norms[jv]
-        if (denom == 0.0).any():
-            raise ZeroDivisionError("Division by zero")  # ANSI parity
-        return pd.DataFrame({"vec_a": ids[iu], "vec_b": ids[jv], "cosine": acc / denom})
+                continue
+            if ragged:
+                # scalar fold with exact HOF null semantics
+                f64 = np.float64
+                out_a, out_b, out_c = [], [], []
+                for i, j in zip(iu, jv):
+                    a_v, b_v = vs[i], vs[j]
+                    if len(a_v) != len(b_v):
+                        continue  # zip_with pads with null -> null cosine -> dropped
+                    s = 0.0
+                    for p, q in zip(a_v, b_v):
+                        s = s + p * q
+                    denom = f64(norms[i]) * f64(norms[j])
+                    if denom == 0.0:
+                        raise ZeroDivisionError("Division by zero")  # ANSI parity
+                    out_a.append(ids[i]); out_b.append(ids[j])
+                    out_c.append(float(f64(s) / denom))
+                outs.append(pd.DataFrame(
+                    {"vec_a": out_a, "vec_b": out_b, "cosine": out_c}))
+                continue
+            acc = np.zeros(len(iu), dtype=np.float64)
+            for j in range(V.shape[1]):
+                acc += V[iu, j] * V[jv, j]
+            denom = norms[iu] * norms[jv]
+            if (denom == 0.0).any():
+                raise ZeroDivisionError("Division by zero")  # ANSI parity
+            outs.append(pd.DataFrame(
+                {"vec_a": ids[iu], "vec_b": ids[jv], "cosine": acc / denom}))
+        if not outs:
+            return empty
+        return outs[0] if len(outs) == 1 else pd.concat(outs, ignore_index=True)
 
-    return side.groupBy("bucket").applyInPandas(score, out_schema)
+    # drop null-element vectors in the JVM, where null is still
+    # distinguishable from NaN (see docstring)
+    clean = side.filter(~F.exists(F.col("v"), lambda x: x.isNull()))
+    return clean.groupBy("bucket").applyInPandas(score, out_schema)
+
+
+def _norm_vectors(emb: DataFrame) -> DataFrame:
+    """(vec_id, v, n): spread + cast + per-vector norm — the shared
+    corpus-side frame builder."""
+    return spread(
+        emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    ).withColumn("n", _norm(F.col("v")))
+
+
+def _broadcast_centroids(centroids: DataFrame) -> DataFrame:
+    return F.broadcast(
+        centroids.select(
+            "centroid_id", F.col("center").cast("array<double>").alias("cv")
+        ).withColumn("cn", _norm(F.col("cv")))
+    )
+
+
+def _carry_scores(e: DataFrame, c: DataFrame) -> DataFrame:
+    """The single home of the bucket-defining rounded c_cos expression
+    with v/n carried through the fan-out (two copies of it could
+    silently split assignment semantics between ivf_topk and
+    embedding_neardup_ivf)."""
+    return e.crossJoin(c).select(
+        "vec_id",
+        "v",
+        "n",
+        "centroid_id",
+        F.round(_cos_pre(F.col("v"), F.col("n"), F.col("cv"), F.col("cn")), 6).alias("c_cos"),
+    )
 
 
 def _centroid_scores_carry(emb: DataFrame, centroids: DataFrame) -> DataFrame:
@@ -312,21 +378,7 @@ def _centroid_scores_carry(emb: DataFrame, centroids: DataFrame) -> DataFrame:
     downstream assignment aggregate can keep v/n via first() instead
     of re-joining the vector table. Same rounded c_cos expression as
     _centroid_scores (identical buckets)."""
-    e = spread(
-        emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
-    ).withColumn("n", _norm(F.col("v")))
-    c = F.broadcast(
-        centroids.select(
-            "centroid_id", F.col("center").cast("array<double>").alias("cv")
-        ).withColumn("cn", _norm(F.col("cv")))
-    )
-    return e.crossJoin(c).select(
-        "vec_id",
-        "v",
-        "n",
-        "centroid_id",
-        F.round(_cos_pre(F.col("v"), F.col("n"), F.col("cv"), F.col("cn")), 6).alias("c_cos"),
-    )
+    return _carry_scores(_norm_vectors(emb), _broadcast_centroids(centroids))
 
 
 def ivf_assign(emb: DataFrame, centroids: DataFrame) -> DataFrame:
@@ -401,21 +453,8 @@ def ivf_topk(
     ivf_assign (argmin via min-of-struct over the identical rounded
     c_cos), one corpus shuffle instead of an extra sort-merge join's
     two exchanges + sorts of the array column."""
-    e = spread(
-        emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
-    ).withColumn("n", _norm(F.col("v")))
-    c = F.broadcast(
-        centroids.select(
-            "centroid_id", F.col("center").cast("array<double>").alias("cv")
-        ).withColumn("cn", _norm(F.col("cv")))
-    )
-    cscored = e.crossJoin(c).select(
-        "vec_id",
-        "v",
-        "n",
-        "centroid_id",
-        F.round(_cos_pre(F.col("v"), F.col("n"), F.col("cv"), F.col("cn")), 6).alias("c_cos"),
-    )
+    e = _norm_vectors(emb)
+    cscored = _carry_scores(e, _broadcast_centroids(centroids))
     cand = cscored.groupBy("vec_id").agg(
         F.min(F.struct((-F.col("c_cos")).alias("neg"), F.col("centroid_id").alias("cid")))
         .getField("cid")

@@ -934,3 +934,36 @@ def test_scored_pairs_arrow_bit_equal(spark):
         ).collect()
     with pytest.raises(Exception, match="(?i)zero"):
         _scored_pairs_arrow(zdf).collect()
+
+
+def test_bucket_pairs_scored_null_and_nan_elements(spark):
+    """r10 review fix: a NULL embedding element drops its pairs (the
+    HOF path scored them to a null cosine, which the >= threshold
+    filter drops) — the explicit JVM-side pre-filter makes that
+    deliberate rather than an accident of serializer coercion. A
+    literal-NaN element (out-of-domain data) yields a NULL cosine
+    too: applyInPandas's pandas->Arrow return coerces float NaN to
+    null, so the pair is dropped by the threshold filter — the one
+    documented divergence from the HOF path, which emitted a
+    NaN-cosine row there (Spark orders NaN above every threshold)."""
+    from crawlspark.ops.similarity import _bucket_pairs_scored
+
+    rows = [
+        (1, [1.0, 0.0], 1.0, 0, [0]),
+        (2, [1.0, 0.0], 1.0, 0, [0]),
+        (3, [1.0, None], 1.0, 0, [0]),            # null element -> dropped
+        (4, [float("nan"), 0.0], 1.0, 0, [0]),     # NaN data -> null cosine
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, v array<double>, n double, bucket int, buckets array<int>"
+    )
+    out = _bucket_pairs_scored(df, canonical_filter=True)
+    got = {(r["vec_a"], r["vec_b"]): r["cosine"] for r in out.collect()}
+    assert set(got) == {(1, 2), (1, 4), (2, 4)}  # no pair touches vec 3
+    assert got[(1, 2)] == 1.0
+    assert got[(1, 4)] is None and got[(2, 4)] is None
+    # and the op-level filter drops the null-cosine pairs
+    from pyspark.sql import functions as F
+
+    kept = out.filter(F.col("cosine") >= 0.4).collect()
+    assert {(r["vec_a"], r["vec_b"]) for r in kept} == {(1, 2)}

@@ -746,8 +746,9 @@ def test_synth_image_cached_base_and_reseed_bit_identical():
 
     for seed in (0, 1, 42, 0xFFFFFFFF, 123456789):
         a = np.random.RandomState(seed).randint(-16, 17, size=(16, 16, 3))
-        ic._SYNTH_RNG.seed(seed)
-        b = ic._SYNTH_RNG.randint(-16, 17, size=(16, 16, 3))
+        rng = ic._synth_rng()
+        rng.seed(seed)
+        b = rng.randint(-16, 17, size=(16, 16, 3))
         assert (a == b).all()
 
     for image_id in ("h/x", "bench-0001.test/7.42", "weird id", "a/0"):
@@ -758,3 +759,16 @@ def test_synth_image_cached_base_and_reseed_bit_identical():
             noise = np.random.RandomState(seed).randint(-16, 17, size=(h, w, 3))
             want = (base + noise).clip(0, 255).astype(np.uint8)
             assert got.dtype == want.dtype and (got == want).all(), (image_id, w, h)
+
+
+def test_fused_shapes_compose_from_shared_value_classes():
+    """r10: the fused fast shapes must be COMPOSED from the shared
+    value-class fragments (not inline copies that could drift from
+    the walk grammar — the r6 shared-grammar rule)."""
+    assert htmlex._V_DQ in htmlex._META_FAST.pattern
+    assert htmlex._META_FAST.pattern.count(htmlex._V_DQ) == 2
+    assert htmlex._LINK_FAST.pattern.count(htmlex._V_DQ) == 3
+    for pat in (htmlex._A_FAST, htmlex._A_HREF_REL):
+        assert pat.pattern.count(htmlex._VAL_CAP) == 2
+    assert htmlex._VAL_CAP in htmlex._TAG_ATTR.pattern
+    assert htmlex._VAL in htmlex._ATTR_GRAMMAR
